@@ -1,0 +1,107 @@
+"""Power Spherical distribution (De Cao & Aziz, 2020) — rejection-free.
+
+TPU-native rebuild of ``dists/clifford.py:124-212``: the marginal-t Beta
+sample, the T-transform and the Householder reflection are fused into one
+pure ``sample`` function (no torch TransformedDistribution machinery).  The
+Beta draw uses ``jax.random.beta`` whose underlying Gamma sampler has
+implicit-reparameterization gradients, so ``sample`` is fully differentiable
+w.r.t. both ``loc`` and ``scale`` — matching the reference's rsample path.
+
+Numerical constants replicated exactly: the 1e-7 epsilon added to ``scale``
+(``dists/clifford.py:128,188``), the 1e-7 clamp in sqrt(1-t^2)
+(``:44-48``), the +eps in the Householder normalization (``:72-76``) and the
+(-1+eps, 1-eps) clamp of the dot product in ``log_prob`` (``:198-202``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.special import digamma, gammaln
+
+_EPS = 1e-7
+
+
+def householder_reflect(x, loc):
+    """Reflect x by the Householder map sending e1 -> loc.
+
+    ``dists/clifford.py:62-82``; self-inverse, zero log-det.
+    """
+    e1 = jnp.zeros_like(loc).at[..., 0].set(1.0)
+    u = e1 - loc
+    u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + _EPS)
+    return x - 2.0 * jnp.sum(x * u, axis=-1, keepdims=True) * u
+
+
+@struct.dataclass
+class PowerSpherical:
+    """PowerSpherical(loc, scale) on S^(d-1), d = loc.shape[-1].
+
+    batch_shape = loc.shape[:-1]; event_shape = (d,).
+    ``sample(key, shape)`` returns shape + batch_shape + (d,).
+    """
+
+    loc: jnp.ndarray  # (..., d), unit-norm mean direction
+    scale: jnp.ndarray  # (...,), concentration kappa >= 0
+
+    @property
+    def dim(self) -> int:
+        return self.loc.shape[-1]
+
+    def _alpha_beta(self):
+        safe_scale = self.scale + _EPS
+        alpha = (self.dim - 1) / 2.0 + safe_scale
+        beta = jnp.asarray((self.dim - 1) / 2.0, self.loc.dtype)
+        return alpha, beta, safe_scale
+
+    def sample(self, key, sample_shape=()):
+        sample_shape = tuple(sample_shape)
+        d = self.dim
+        batch_shape = self.loc.shape[:-1]
+        shape = sample_shape + batch_shape
+        k_t, k_v = jax.random.split(key)
+        alpha, beta, _ = self._alpha_beta()
+        alpha = jnp.broadcast_to(alpha, batch_shape)
+        # marginal t = 2*Beta(alpha, beta) - 1   (``dists/clifford.py:124-137``)
+        b = jax.random.beta(k_t, alpha, beta, shape=shape)
+        t = 2.0 * b - 1.0
+        # uniform tangent direction on S^(d-2) (``:100-107`` with +eps norm)
+        v = jax.random.normal(k_v, shape + (d - 1,), dtype=self.loc.dtype)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+        # T-transform: y = (t, v*sqrt(1-t^2)) (``:44-48``)
+        t = t[..., None].astype(self.loc.dtype)
+        y = jnp.concatenate(
+            [t, v * jnp.sqrt(jnp.clip(1.0 - t**2, min=_EPS))], axis=-1
+        )
+        # Householder reflection e1 -> loc (``:72-76``)
+        return householder_reflect(y, self.loc)
+
+    rsample = sample
+
+    def log_normalizer(self):
+        """``dists/clifford.py:187-196``."""
+        alpha, beta, _ = self._alpha_beta()
+        return -(
+            (alpha + beta) * math.log(2)
+            + gammaln(alpha)
+            - gammaln(alpha + beta)
+            + beta * math.log(math.pi)
+        )
+
+    def log_prob(self, value):
+        """``dists/clifford.py:198-202``."""
+        dot = jnp.sum(self.loc * value, axis=-1)
+        safe_dot = jnp.clip(dot, min=-1.0 + _EPS, max=1.0 - _EPS)
+        return self.log_normalizer() + self.scale * jnp.log1p(safe_dot)
+
+    def entropy(self):
+        """``dists/clifford.py:204-212``."""
+        alpha, beta, safe_scale = self._alpha_beta()
+        return -(
+            self.log_normalizer()
+            + safe_scale
+            * (math.log(2) + digamma(alpha) - digamma(alpha + beta))
+        )

@@ -1,0 +1,125 @@
+"""Clifford-torus embedding as an exact real DFT — TPU-first design.
+
+The reference embeds d phase angles onto the Clifford torus in R^{2d} by
+building a Hermitian-symmetric phase spectrum and taking a complex iFFT
+(``dists/clifford.py:301-308``, ``utils/wandb_utils.py:506-521``):
+
+    theta_s = [0, th_1..th_{d-1}, 0, -th_{d-1}..-th_1]   (length n = 2d)
+    x = ifft(exp(i * theta_s)).real
+
+Because the spectrum is Hermitian by construction, the output is an exact
+*real* transform of (cos th, sin th):
+
+    x_j = (1/n) [ 1 + (-1)^j + 2 * sum_{k=1}^{d-1} cos(th_k + 2 pi j k / n) ]
+        = c_j + cos(th)_{1:} @ C  +  sin(th)_{1:} @ S
+
+with C[k, j] =  (2/n) cos(2 pi j k / n),  S[k, j] = -(2/n) sin(2 pi j k / n),
+c_j = (1 + (-1)^j)/n.  On TPU this is two MXU matmuls instead of a complex
+FFT — exact, differentiable, and fast for every latent dim the framework uses
+(d <= 4096).  A ``jnp.fft`` fallback is kept for larger dims.
+
+The inverse (used by ``CliffordPowerSpherical.log_prob``,
+``dists/clifford.py:310-312``) recovers angles as
+``angle(fft(x)[..., :d])``, which is likewise two real matmuls + atan2 here.
+
+Properties preserved from the reference:
+  * angle index 0 is pinned to phase 0 (only d-1 angles are free),
+  * outputs have unit L2 norm (Parseval),
+  * ``torus_to_angles(angles_to_torus(th))[..., 1:] == wrap(th[..., 1:])``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# Above this latent dim the O(d^2) basis matmul is replaced by jnp.fft.
+# 4096 -> two 4095x8192 f32 bases (~268 MB total), still comfortably in HBM.
+MATMUL_MAX_DIM = 4096
+
+
+@functools.lru_cache(maxsize=32)
+def _torus_bases(d: int):
+    """(cos basis, sin basis, const) for the d-angle -> 2d-dim embedding."""
+    n = 2 * d
+    k = np.arange(1, d, dtype=np.float64)  # free angle indices 1..d-1
+    j = np.arange(n, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(k, j) / n  # (d-1, n)
+    cos_b = (2.0 / n) * np.cos(phase)
+    sin_b = -(2.0 / n) * np.sin(phase)
+    const = (1.0 + np.cos(np.pi * j)) / n  # (1 + (-1)^j)/n
+    return (
+        cos_b.astype(np.float32),
+        sin_b.astype(np.float32),
+        const.astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _fft_bases(d: int):
+    """(cos basis, sin basis) for the 2d-dim -> d-angle inverse transform."""
+    n = 2 * d
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(d, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(j, k) / n  # (n, d)
+    return (
+        np.cos(phase).astype(np.float32),
+        -np.sin(phase).astype(np.float32),
+    )
+
+
+def angles_to_torus(angles: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
+    """Embed d angles (..., d) onto the Clifford torus in R^{2d}.
+
+    Angle index 0 is ignored (pinned to phase 0), matching
+    ``dists/clifford.py:301-306``.  ``method`` in {"auto", "matmul", "fft"}.
+    """
+    d = angles.shape[-1]
+    if method == "auto":
+        method = "matmul" if d <= MATMUL_MAX_DIM else "fft"
+    if method == "matmul":
+        cos_b, sin_b, const = _torus_bases(d)
+        th = angles[..., 1:]
+        dtype = angles.dtype
+        x = (
+            jnp.cos(th) @ jnp.asarray(cos_b, dtype)
+            + jnp.sin(th) @ jnp.asarray(sin_b, dtype)
+            + jnp.asarray(const, dtype)
+        )
+        return x
+    # FFT fallback: build the Hermitian spectrum explicitly like the reference.
+    n = 2 * d
+    th = angles[..., 1:]
+    zeros = jnp.zeros(angles.shape[:-1] + (1,), angles.dtype)
+    theta_s = jnp.concatenate(
+        [zeros, th, zeros, -jnp.flip(th, axis=-1)], axis=-1
+    )
+    assert theta_s.shape[-1] == n
+    spectrum = jnp.exp(1j * theta_s.astype(jnp.complex64))
+    return jnp.fft.ifft(spectrum, axis=-1).real.astype(angles.dtype)
+
+
+def torus_to_angles(x: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
+    """Recover d phase angles from a torus point (..., 2d) -> (..., d).
+
+    Equals ``angle(fft(x)[..., :d])`` (``dists/clifford.py:311-312``).
+    """
+    n = x.shape[-1]
+    d = n // 2
+    if method == "auto":
+        method = "matmul" if d <= MATMUL_MAX_DIM else "fft"
+    if method == "matmul":
+        cos_b, sin_b = _fft_bases(d)
+        dtype = x.dtype
+        re = x @ jnp.asarray(cos_b, dtype)
+        im = x @ jnp.asarray(sin_b, dtype)
+        return jnp.arctan2(im, re)
+    freq = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)[..., :d]
+    return jnp.angle(freq).astype(x.dtype)
+
+
+def wrap_angle(theta: jnp.ndarray) -> jnp.ndarray:
+    """Wrap angles to (-pi, pi]."""
+    return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))

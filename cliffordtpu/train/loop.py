@@ -1,0 +1,119 @@
+"""Jitted train/eval steps and a fit loop with early stopping.
+
+The reference trains with a per-batch Python loop calling
+``loss.backward()`` (``mnist/mnist_clifpws.py:268-312``); here each step is
+one compiled XLA program (donated state, keyed sampling, beta as a traced
+scalar so schedule changes don't recompile).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cliffordtpu.data.loaders import binarize_with_random_threshold
+from cliffordtpu.nn.losses import vae_loss_from_outputs
+
+
+def make_mlp_train_step(model, binarize: bool = True):
+    """Train step for MLPVAE-family models (BCE ELBO)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, x, key, beta):
+        k_bin, k_sample = jax.random.split(key)
+        if binarize:
+            x = binarize_with_random_threshold(k_bin, x)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params}, x, rngs={"sample": k_sample}
+            )
+            losses = vae_loss_from_outputs(x, outputs, beta)
+            return losses["total"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, losses
+
+    return train_step
+
+
+def make_mlp_eval_step(model, binarize: bool = True):
+    @jax.jit
+    def eval_step(params, x, key, beta):
+        k_bin, k_sample = jax.random.split(key)
+        if binarize:
+            x = binarize_with_random_threshold(k_bin, x)
+        outputs = model.apply({"params": params}, x, rngs={"sample": k_sample})
+        return vae_loss_from_outputs(x, outputs, beta)
+
+    return eval_step
+
+
+def fit(
+    state,
+    train_step,
+    eval_step,
+    key,
+    x_train: np.ndarray,
+    x_val: np.ndarray,
+    *,
+    epochs: int,
+    batch_size: int,
+    beta_fn: Callable[[int], float],
+    patience: int = 50,
+    log_fn: Optional[Callable[[int, Dict], None]] = None,
+) -> Tuple[object, Dict]:
+    """Epoch loop with val early-stopping and best-params restore
+    (``mnist/mnist_clifpws.py:268-318`` semantics)."""
+    n = x_train.shape[0]
+    steps = max(1, n // batch_size)
+    best_val = float("inf")
+    best_params = state.params
+    patience_counter = 0
+    history = {"train_loss": [], "val_loss": []}
+
+    for epoch in range(epochs):
+        beta = jnp.asarray(beta_fn(epoch), jnp.float32)
+        ekey = jax.random.fold_in(key, epoch)
+        perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(ekey, 0), n))
+        ep_loss = 0.0
+        for s in range(steps):
+            xb = jnp.asarray(x_train[perm[s * batch_size:(s + 1) * batch_size]])
+            skey = jax.random.fold_in(ekey, s + 1)
+            state, losses = train_step(state, xb, skey, beta)
+            ep_loss += float(losses["total"])
+        ep_loss /= steps
+
+        # validation
+        vkey = jax.random.fold_in(ekey, 10_000)
+        v_losses = []
+        for s in range(0, x_val.shape[0], batch_size):
+            xb = jnp.asarray(x_val[s:s + batch_size])
+            v = eval_step(state.params, xb, jax.random.fold_in(vkey, s), beta)
+            v_losses.append(float(v["total"]) * xb.shape[0])
+        val_loss = sum(v_losses) / x_val.shape[0]
+
+        history["train_loss"].append(ep_loss)
+        history["val_loss"].append(val_loss)
+        if log_fn:
+            log_fn(epoch, {"train_loss": ep_loss, "val_loss": val_loss,
+                           "beta": float(beta)})
+
+        if np.isfinite(val_loss) and val_loss < best_val:
+            best_val = val_loss
+            best_params = jax.tree_util.tree_map(lambda a: a, state.params)
+            patience_counter = 0
+        else:
+            patience_counter += 1
+            if patience_counter >= patience:
+                break
+
+    state = state.replace(params=best_params)
+    history["best_val"] = best_val
+    return state, history
