@@ -9,7 +9,19 @@
 """
 
 from cliffordtpu.nn.mlp_vae import MLPVAE
+from cliffordtpu.nn.conv_vae import CNNVAE, cnn_vae_loss
+from cliffordtpu.nn.vit_vae import CliffordARVAE, default_config
+from cliffordtpu.nn.hybrid_vae import HybridVAE
 from cliffordtpu.nn.reparam import reparameterize
 from cliffordtpu.nn import losses
 
-__all__ = ["MLPVAE", "reparameterize", "losses"]
+__all__ = [
+    "MLPVAE",
+    "CNNVAE",
+    "CliffordARVAE",
+    "HybridVAE",
+    "cnn_vae_loss",
+    "default_config",
+    "reparameterize",
+    "losses",
+]

@@ -1,0 +1,437 @@
+"""Hybrid CNN+ViT S-VAE (CliffordAR-style) — flax rebuild of
+``cnn/cliffordar_model.py:23-604``.
+
+TPU-first choices vs the torch reference:
+* NHWC conv layout, bfloat16-friendly matmuls (dtype configurable),
+* 2-D RoPE applied with real cos/sin arithmetic (no complex tensors),
+* attention through ``jax.nn.dot_product_attention`` (XLA flash-attention
+  path on TPU; sequence is 64 tokens + 4 registers at 32 px),
+* per-token latent distributions built batched over (B, T) — no flattening
+  round-trips (the reference reshapes to (B*T, D), ``:470-501``).
+
+Architecture parity: RMSNorm(eps 1e-6), SwiGLU with d_ff = 8/3 d rounded up
+to 256 (``:69-79``), pre-norm blocks (``:105-116``), GroupNorm+SiLU CNN
+patchify/unpatchify stacks (``:121-207``), 4 learned register tokens
+(``:232-233``), per-image-size default configs (``:321-364``), PS samples
+scaled by sqrt(latent_dim) (``:491``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cliffordtpu.nn.conv_vae import cnn_vae_loss
+from cliffordtpu.nn.mlp_vae import l2_normalize
+from cliffordtpu.nn.reparam import reparameterize, sample_latent
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+# ---- 2d rotary position embeddings (``cliffordar_model.py:37-64``) ----
+
+
+def rope_2d_cos_sin(image_size: int, patch_grid: int, head_dim: int,
+                    cls_token_num: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) tables of shape (S, head_dim//2); registers get angle 0."""
+    ys, xs = np.meshgrid(
+        np.arange(patch_grid), np.arange(patch_grid), indexing="ij"
+    )
+    pos = np.stack([ys.ravel(), xs.ravel()], -1).astype(np.float32)
+    half = head_dim // 4
+    freqs = 1.0 / (10000.0 ** (np.arange(half, dtype=np.float32) / half))
+    freqs_y = np.outer(pos[:, 0], freqs)
+    freqs_x = np.outer(pos[:, 1], freqs)
+    angles = np.concatenate([freqs_y, freqs_x], -1)  # (T, head_dim//2)
+    if cls_token_num > 0:
+        angles = np.concatenate(
+            [np.zeros((cls_token_num, angles.shape[1]), np.float32), angles], 0
+        )
+    return np.cos(angles), np.sin(angles)
+
+
+def apply_rotary(x, cos, sin):
+    """Rotate interleaved pairs: complex multiply in real arithmetic
+    (``cliffordar_model.py:58-64``). x: (B, S, H, D)."""
+    B, S, H, D = x.shape
+    x2 = x.reshape(B, S, H, D // 2, 2)
+    x0, x1 = x2[..., 0], x2[..., 1]
+    cos = cos[:S][None, :, None, :]
+    sin = sin[:S][None, :, None, :]
+    out0 = x0 * cos - x1 * sin
+    out1 = x0 * sin + x1 * cos
+    return jnp.stack([out0, out1], axis=-1).reshape(B, S, H, D)
+
+
+# ---- transformer components ----
+
+
+class SwiGLU(nn.Module):
+    """``cliffordar_model.py:69-79``."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        d_ff = int(self.d_model * 8 / 3)
+        d_ff = ((d_ff + 255) // 256) * 256
+        w1 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER)(x)
+        w3 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER)(x)
+        return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(
+            nn.silu(w1) * w3
+        )
+
+
+class Attention(nn.Module):
+    """Non-causal MHA with 2-D RoPE (``cliffordar_model.py:82-102``)."""
+
+    d_model: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        B, S, D = x.shape
+        hd = self.d_model // self.n_heads
+        q = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
+        k = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
+        v = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
+        q = q.reshape(B, S, self.n_heads, hd)
+        k = k.reshape(B, S, self.n_heads, hd)
+        v = v.reshape(B, S, self.n_heads, hd)
+        if cos is not None:
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, S, D)
+        return nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm block (``cliffordar_model.py:105-116``)."""
+
+    d_model: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        x = x + Attention(self.d_model, self.n_heads)(
+            nn.RMSNorm(epsilon=1e-6)(x), cos, sin
+        )
+        x = x + SwiGLU(self.d_model)(nn.RMSNorm(epsilon=1e-6)(x))
+        return x
+
+
+# ---- CNN components (``cliffordar_model.py:121-207``) ----
+
+
+def _gn(ch):
+    return nn.GroupNorm(num_groups=min(32, max(1, ch // 4)), epsilon=1e-6)
+
+
+class ResDownBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = _gn(in_ch)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_XAVIER)(h)
+        h = _gn(self.out_ch)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_XAVIER)(h)
+        short = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
+                        use_bias=False, kernel_init=_XAVIER)(x)
+        return short + h
+
+
+class ResUpBlock(nn.Module):
+    """Decoder up-block with the extra ``block2`` residual
+    (``cliffordar_model.py:165-195``)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        h = _gn(in_ch)(x)
+        h = nn.silu(h)
+        h = nn.ConvTranspose(self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
+                             use_bias=False, kernel_init=_XAVIER)(h)
+        h = _gn(self.out_ch)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_XAVIER)(h)
+        short = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
+                                 padding="VALID", use_bias=False,
+                                 kernel_init=_XAVIER)(x)
+        x = short + h
+        h2 = _gn(self.out_ch)(x)
+        h2 = nn.silu(h2)
+        h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                     use_bias=False, kernel_init=_XAVIER)(h2)
+        h2 = _gn(self.out_ch)(h2)
+        h2 = nn.silu(h2)
+        h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                     use_bias=False, kernel_init=_XAVIER)(h2)
+        return x + h2
+
+
+# ---- encoder / decoder (``cliffordar_model.py:212-316``) ----
+
+
+class ViTEncoder(nn.Module):
+    n_layers: int
+    n_heads: int
+    d_model: int
+    cnn_chs: Sequence[int]
+    image_size: int
+    patch_size: int
+    register_tokens: int = 4
+
+    @nn.compact
+    def __call__(self, image):
+        x = nn.Conv(self.cnn_chs[0], (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_XAVIER)(image)
+        for ch in self.cnn_chs[1:]:
+            x = ResDownBlock(ch)(x)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H * W, C)
+
+        reg = self.param(
+            "register_token",
+            nn.initializers.normal(1.0),
+            (self.register_tokens, self.d_model),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(reg[None], (B,) + reg.shape), x], axis=1
+        )
+        grid = self.image_size // self.patch_size
+        cos_np, sin_np = rope_2d_cos_sin(
+            self.image_size, grid, self.d_model // self.n_heads,
+            cls_token_num=self.register_tokens,
+        )
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+        for _ in range(self.n_layers):
+            x = TransformerBlock(self.d_model, self.n_heads)(x, cos, sin)
+        x = x[:, self.register_tokens:, :]
+        x = nn.RMSNorm(epsilon=1e-6)(x)
+        return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(x)
+
+
+class ViTDecoder(nn.Module):
+    n_layers: int
+    n_heads: int
+    d_model: int
+    cnn_chs: Sequence[int]  # reversed stack, e.g. [512, 256, 64]
+    out_channels: int
+    image_size: int
+    patch_size: int
+    register_tokens: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        g = int(math.isqrt(T))
+        h = x.reshape(B, g, g, C)
+        h = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_XAVIER)(h)
+        x = h.reshape(B, T, self.d_model)
+
+        reg = self.param(
+            "register_token",
+            nn.initializers.normal(1.0),
+            (self.register_tokens, self.d_model),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(reg[None], (B,) + reg.shape), x], axis=1
+        )
+        grid = self.image_size // self.patch_size
+        cos_np, sin_np = rope_2d_cos_sin(
+            self.image_size, grid, self.d_model // self.n_heads,
+            cls_token_num=self.register_tokens,
+        )
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+        for _ in range(self.n_layers):
+            x = TransformerBlock(self.d_model, self.n_heads)(x, cos, sin)
+        x = x[:, self.register_tokens:, :]
+        x = x.reshape(B, g, g, self.d_model)
+        for ch in self.cnn_chs[1:]:
+            x = ResUpBlock(ch)(x)
+        x = _gn(x.shape[-1])(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       use_bias=False, kernel_init=_XAVIER)(x)
+
+
+# ---- default configs per image size (``cliffordar_model.py:321-364``) ----
+
+
+def default_config(image_size: int) -> dict:
+    if image_size == 256:
+        return dict(cnn_chs=[64, 64, 128, 256, 512], z_channels=512,
+                    encoder_vit_layers=6, decoder_vit_layers=12, patch_size=16)
+    elif image_size == 64:
+        return dict(cnn_chs=[64, 128, 256, 512], z_channels=512,
+                    encoder_vit_layers=4, decoder_vit_layers=8, patch_size=8)
+    elif image_size == 32:
+        return dict(cnn_chs=[64, 256, 512], z_channels=512,
+                    encoder_vit_layers=4, decoder_vit_layers=8, patch_size=4)
+    num_stages = max(1, int(math.log2(image_size)) - 3)
+    chs = [64]
+    c = 64
+    for _ in range(num_stages):
+        c = min(c * 2, 512)
+        chs.append(c)
+    return dict(cnn_chs=chs, z_channels=chs[-1], encoder_vit_layers=4,
+                decoder_vit_layers=8,
+                patch_size=image_size // (2 ** num_stages))
+
+
+# ---- main VAE class (``cliffordar_model.py:369-604``) ----
+
+
+class CliffordARVAE(nn.Module):
+    """Hybrid CNN+ViT S-VAE with per-token latents."""
+
+    latent_dim: int = 16
+    image_size: int = 256
+    in_channels: int = 3
+    distribution: str = "clifford"
+    recon_loss_type: str = "l1"
+    l1_weight: float = 1.0
+    use_learnable_beta: bool = False
+    l2_normalize: bool = False
+    cnn_chs: Optional[Sequence[int]] = None
+    z_channels: Optional[int] = None
+    encoder_vit_layers: Optional[int] = None
+    decoder_vit_layers: Optional[int] = None
+    patch_size: Optional[int] = None
+    register_tokens: int = 4
+    concentration_floor: float = 0.03
+
+    def _cfg(self):
+        cfg = default_config(self.image_size)
+        return dict(
+            cnn_chs=list(self.cnn_chs or cfg["cnn_chs"]),
+            z_channels=self.z_channels or cfg["z_channels"],
+            enc_layers=self.encoder_vit_layers or cfg["encoder_vit_layers"],
+            dec_layers=self.decoder_vit_layers or cfg["decoder_vit_layers"],
+            patch_size=self.patch_size or cfg["patch_size"],
+        )
+
+    @property
+    def num_tokens(self) -> int:
+        cfg = self._cfg()
+        num_stages = len(cfg["cnn_chs"]) - 1
+        grid = self.image_size // (2 ** num_stages)
+        return grid * grid
+
+    def setup(self):
+        cfg = self._cfg()
+        zc = cfg["z_channels"]
+        n_heads = max(1, zc // 64)  # reference: zc // 64 (``:425``)
+        self.encoder_vit = ViTEncoder(
+            n_layers=cfg["enc_layers"], n_heads=n_heads, d_model=zc,
+            cnn_chs=cfg["cnn_chs"], image_size=self.image_size,
+            patch_size=cfg["patch_size"], register_tokens=self.register_tokens,
+        )
+        if self.distribution == "gaussian":
+            self.quant_proj = nn.Dense(self.latent_dim * 2, kernel_init=_XAVIER)
+        else:
+            self.quant_proj = nn.Dense(self.latent_dim + 1, kernel_init=_XAVIER)
+        dec_latent = (2 * self.latent_dim if self.distribution == "clifford"
+                      else self.latent_dim)
+        self.post_quant_proj = nn.Dense(zc, use_bias=False, kernel_init=_XAVIER)
+        self.decoder_vit = ViTDecoder(
+            n_layers=cfg["dec_layers"], n_heads=n_heads, d_model=zc,
+            cnn_chs=cfg["cnn_chs"][::-1], out_channels=self.in_channels,
+            image_size=self.image_size, patch_size=cfg["patch_size"],
+            register_tokens=self.register_tokens,
+        )
+        self._dec_latent_dim = dec_latent
+        if self.use_learnable_beta:
+            self.log_sigma_0 = self.param(
+                "log_sigma_0", nn.initializers.zeros, (1,))
+            self.log_sigma_1 = self.param(
+                "log_sigma_1", nn.initializers.zeros, (1,))
+
+    def encode_heads(self, x):
+        """encoder -> per-token (mu, params) (``cliffordar_model.py:503-522``)."""
+        h = self.encoder_vit(x)  # (B, T, z_channels)
+        proj = self.quant_proj(h)
+        if self.distribution == "gaussian":
+            return proj[..., : self.latent_dim], proj[..., self.latent_dim:]
+        mu = proj[..., :-1]
+        kappa = proj[..., -1]
+        if self.distribution == "powerspherical":
+            mu = l2_normalize(mu)
+            kappa = jnp.clip(nn.softplus(kappa) + 0.8, max=10.0)
+        else:  # clifford
+            kappa = jnp.clip(
+                nn.softplus(kappa) + self.concentration_floor, max=10.0
+            )
+        return mu, kappa
+
+    def reparam(self, mu, params):
+        """Per-token latents, batched over (B, T)
+        (``cliffordar_model.py:470-501``)."""
+        if self.distribution == "clifford":
+            params = jnp.broadcast_to(params[..., None], mu.shape)
+        q_z, p_z = reparameterize(
+            self.distribution, mu, params, self.latent_dim
+        )
+        z = sample_latent(
+            self.make_rng("sample"), self.distribution, q_z, self.l2_normalize
+        )
+        if self.distribution == "powerspherical":
+            z = z * (self.latent_dim ** 0.5)  # R = sqrt(d) (``:491``)
+        return z, q_z, p_z
+
+    def decode(self, z):
+        """(B, T, dec_dim) or flat (B, T*dec_dim) (``:524-533``)."""
+        if z.ndim == 2:
+            z = z.reshape(z.shape[0], self.num_tokens, self._dec_latent_dim)
+        h = self.post_quant_proj(z)
+        return self.decoder_vit(h)
+
+    def __call__(self, x):
+        mu, params = self.encode_heads(x)
+        z, q_z, p_z = self.reparam(mu, params)
+        x_recon = self.decode(z)
+        return x_recon, q_z, p_z, mu
+
+    def encode(self, x):
+        """CliffordAR-compatible: (z, kl_loss) (``:541-550``)."""
+        from cliffordtpu.distributions import kl_divergence
+
+        mu, params = self.encode_heads(x)
+        z, q_z, p_z = self.reparam(mu, params)
+        kl = kl_divergence(q_z, p_z)
+        if self.distribution == "gaussian":
+            kl_loss = kl.sum(axis=-1).mean()
+        else:
+            kl_loss = kl.mean()
+        return z, kl_loss
+
+    def get_flat_latent(self, x):
+        """(B, num_tokens * dec_dim) for VSA tests (``:593-599``)."""
+        mu, params = self.encode_heads(x)
+        z, _, _ = self.reparam(mu, params)
+        return z.reshape(z.shape[0], -1)
+
+    def normalize(self, x):
+        """L2 normalize * sqrt(d) (``:601-604``)."""
+        return l2_normalize(x) * (self.latent_dim ** 0.5)
+
+    def loss_sigmas(self):
+        if self.use_learnable_beta:
+            return jnp.exp(self.log_sigma_0), jnp.exp(self.log_sigma_1)
+        return None, None

@@ -1,0 +1,112 @@
+"""Parameter partition rules and sharded train steps.
+
+Tensor-parallel rules target the transformer hot spots of CliffordARVAE:
+attention q/k/v project *out* over the model axis (head-sharded), the
+output projection contracts back (*in*-sharded), and SwiGLU's w1/w3 / w2
+follow the Megatron column/row pattern.  Everything else (convs, norms,
+heads) is replicated — the models are <= ~75M params so TP is bandwidth
+relief, not a memory necessity (SURVEY.md §2.6).
+
+XLA inserts the all-reduces over ICI; there is no hand-written collective
+in the train step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _rule_for_path(path: tuple) -> P:
+    keys = [getattr(k, "key", str(k)) for k in path]
+    joined = "/".join(keys)
+    is_kernel = keys[-1] == "kernel"
+    if not is_kernel:
+        return P()
+    if "Attention_0" in joined:
+        if any(f"Dense_{i}" in keys for i in (0, 1, 2)):
+            return P(None, "model")  # q/k/v: column parallel
+        return P("model", None)  # wo: row parallel
+    if "SwiGLU_0" in joined:
+        if "Dense_0" in keys or "Dense_1" in keys:
+            return P(None, "model")  # w1 / w3
+        return P("model", None)  # w2
+    return P()
+
+
+def infer_param_sharding(mesh: Mesh, params: Any):
+    """NamedSharding pytree for a param pytree (TP on transformer kernels)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _rule_for_path(path)),
+        params,
+    )
+
+
+def shard_params(mesh: Mesh, params: Any):
+    return jax.device_put(params, infer_param_sharding(mesh, params))
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh: params + opt_state follow the rules."""
+    p_shard = infer_param_sharding(mesh, state.params)
+    params = jax.device_put(state.params, p_shard)
+
+    def shard_like(tree):
+        # optimizer moments mirror the param tree structure where possible
+        def place(path, leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+                try:
+                    return jax.device_put(
+                        leaf, NamedSharding(mesh, _rule_for_path(path))
+                    )
+                except Exception:
+                    pass
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+        return jax.tree_util.tree_map_with_path(place, tree)
+
+    opt_state = shard_like(state.opt_state)
+    return state.replace(params=params, opt_state=opt_state)
+
+
+def make_sharded_cnn_train_step(model, mesh: Mesh):
+    """DP(+TP) train step: batch sharded over "data", params per rules.
+
+    Identical math to ``train.loop.make_cnn_train_step``; the only
+    difference is sharding constraints, so single-chip and multi-chip runs
+    produce the same loss for the same global batch.
+    """
+    from cliffordtpu.nn.conv_vae import cnn_vae_loss
+
+    batch_sharding = NamedSharding(mesh, P("data", None, None, None))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, x, key, beta):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding)
+
+        def loss_fn(params):
+            x_recon, q_z, p_z, _ = model.apply(
+                {"params": params}, x, rngs={"sample": key}
+            )
+            sigmas = (None, None)
+            if model.use_learnable_beta:
+                sigmas = (
+                    jnp.exp(params["log_sigma_0"]),
+                    jnp.exp(params["log_sigma_1"]),
+                )
+            losses = cnn_vae_loss(
+                x, x_recon, q_z, p_z, model.distribution, beta=beta,
+                recon_loss_type=model.recon_loss_type,
+                l1_weight=model.l1_weight, sigmas=sigmas,
+            )
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, losses
+
+    return train_step

@@ -54,6 +54,60 @@ def make_mlp_eval_step(model, binarize: bool = True):
     return eval_step
 
 
+def make_cnn_train_step(model):
+    """Train step for CNNVAE / CliffordARVAE / HybridVAE (l1|mse ELBO,
+    ``cnn/fashion_train.py:53-68`` semantics: loss -> clip 1.0 -> AdamW)."""
+    from cliffordtpu.nn.conv_vae import cnn_vae_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, x, key, beta):
+        def loss_fn(params):
+            x_recon, q_z, p_z, _ = model.apply(
+                {"params": params}, x, rngs={"sample": key}
+            )
+            sigmas = (None, None)
+            if model.use_learnable_beta:
+                sigmas = (
+                    jnp.exp(params["log_sigma_0"]),
+                    jnp.exp(params["log_sigma_1"]),
+                )
+            losses = cnn_vae_loss(
+                x, x_recon, q_z, p_z, model.distribution, beta=beta,
+                recon_loss_type=model.recon_loss_type,
+                l1_weight=model.l1_weight, sigmas=sigmas,
+            )
+            return losses["total_loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, losses
+
+    return train_step
+
+
+def make_cnn_eval_step(model):
+    from cliffordtpu.nn.conv_vae import cnn_vae_loss
+
+    @jax.jit
+    def eval_step(params, x, key, beta):
+        x_recon, q_z, p_z, _ = model.apply(
+            {"params": params}, x, rngs={"sample": key}
+        )
+        sigmas = (None, None)
+        if model.use_learnable_beta:
+            sigmas = (
+                jnp.exp(params["log_sigma_0"]),
+                jnp.exp(params["log_sigma_1"]),
+            )
+        return cnn_vae_loss(
+            x, x_recon, q_z, p_z, model.distribution, beta=beta,
+            recon_loss_type=model.recon_loss_type,
+            l1_weight=model.l1_weight, sigmas=sigmas,
+        )
+
+    return eval_step
+
+
 def fit(
     state,
     train_step,

@@ -1,0 +1,161 @@
+"""Model-family tests: shapes, loss finiteness, one-step training for every
+(model, distribution) combination the runners sweep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cliffordtpu.nn import CNNVAE, CliffordARVAE, HybridVAE, MLPVAE
+from cliffordtpu.train.loop import (
+    make_cnn_train_step,
+    make_mlp_train_step,
+)
+from cliffordtpu.train.state import create_train_state
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("dist", ["normal", "powerspherical", "vmf", "clifford"])
+def test_mlp_vae_forward_shapes(dist):
+    model = MLPVAE(h_dim=128, z_dim=8, distribution=dist)
+    x = jax.random.uniform(KEY, (4, 784))
+    variables = model.init({"params": KEY, "sample": KEY}, x)
+    (z_mean, z_p2), (q_z, p_z), z, x_recon = model.apply(
+        variables, x, rngs={"sample": KEY}
+    )
+    assert x_recon.shape == (4, 784)
+    expected_z = 16 if dist == "clifford" else 8
+    assert z.shape == (4, expected_z)
+
+
+@pytest.mark.parametrize("dist", ["gaussian", "powerspherical", "clifford"])
+def test_cnn_vae_step(dist):
+    model = CNNVAE(latent_dim=32, in_channels=1, distribution=dist,
+                   img_size=32)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    state = create_train_state(KEY, model, x, optimizer="adamw", lr=1e-4)
+    step = make_cnn_train_step(model)
+    l0 = None
+    for i in range(3):
+        state, losses = step(state, x, jax.random.fold_in(KEY, i),
+                             jnp.float32(1.0))
+        assert np.isfinite(float(losses["total_loss"]))
+        if i == 0:
+            l0 = float(losses["total_loss"])
+    assert float(losses["total_loss"]) < l0
+
+
+@pytest.mark.parametrize("dist", ["gaussian", "powerspherical", "clifford"])
+def test_cliffordar_vae_step(dist):
+    model = CliffordARVAE(
+        latent_dim=8, image_size=32, in_channels=1, distribution=dist,
+        cnn_chs=[16, 32, 64], z_channels=64, encoder_vit_layers=1,
+        decoder_vit_layers=1, patch_size=4,
+    )
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    state = create_train_state(KEY, model, x, optimizer="adamw", lr=1e-4)
+    step = make_cnn_train_step(model)
+    state, losses = step(state, x, KEY, jnp.float32(0.5))
+    assert np.isfinite(float(losses["total_loss"]))
+    # per-token latents: num_tokens = (32 / 2^2)^2 = 64
+    assert model.num_tokens == 64
+
+
+def test_cliffordar_flat_latent_and_decode_roundtrip():
+    model = CliffordARVAE(
+        latent_dim=4, image_size=32, in_channels=1, distribution="clifford",
+        cnn_chs=[8, 16, 32], z_channels=32, encoder_vit_layers=1,
+        decoder_vit_layers=1, patch_size=4,
+    )
+    x = jax.random.uniform(KEY, (2, 32, 32, 1))
+    variables = model.init({"params": KEY, "sample": KEY}, x)
+    flat = model.apply(variables, x, rngs={"sample": KEY},
+                       method=model.get_flat_latent)
+    assert flat.shape == (2, 64 * 8)  # T * 2*latent_dim
+    # decoder accepts flat latents (backward-compat path, :524-533)
+    recon = model.apply(variables, flat, method=model.decode)
+    assert recon.shape == (2, 32, 32, 1)
+
+
+def test_cliffordar_encode_api():
+    model = CliffordARVAE(
+        latent_dim=4, image_size=32, in_channels=1, distribution="clifford",
+        cnn_chs=[8, 16, 32], z_channels=32, encoder_vit_layers=1,
+        decoder_vit_layers=1, patch_size=4,
+    )
+    x = jax.random.uniform(KEY, (2, 32, 32, 1))
+    variables = model.init({"params": KEY, "sample": KEY}, x)
+    z, kl = model.apply(variables, x, rngs={"sample": KEY},
+                        method=model.encode)
+    assert z.shape == (2, 64, 8)
+    assert np.isfinite(float(kl))
+
+
+@pytest.mark.parametrize("dist", ["gaussian", "powerspherical", "clifford"])
+def test_hybrid_vae_step(dist):
+    model = HybridVAE(latent_dim=8, in_channels=1, distribution=dist,
+                      encoder_chs=[16, 32, 64], img_size=32)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    state = create_train_state(KEY, model, x, optimizer="adamw", lr=1e-4)
+    step = make_cnn_train_step(model)
+    state, losses = step(state, x, KEY, jnp.float32(1.0))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert model.num_tokens == (32 // 4) ** 2
+
+
+def test_learnable_beta():
+    model = CNNVAE(latent_dim=16, in_channels=1, distribution="clifford",
+                   img_size=32, use_learnable_beta=True)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    state = create_train_state(
+        KEY, model, x, optimizer="adamw", lr=1e-4, sigma_lr_scale=0.1
+    )
+    assert "log_sigma_0" in state.params
+    step = make_cnn_train_step(model)
+    state, losses = step(state, x, KEY, jnp.float32(1.0))
+    assert "sigma_0" in losses
+    assert np.isfinite(float(losses["total_loss"]))
+    # sigmas must receive gradients
+    assert float(jnp.abs(state.params["log_sigma_0"][0])) > 0
+
+
+def test_concentration_floor_schedule():
+    from cliffordtpu.nn.conv_vae import clifford_concentration_floor
+
+    assert clifford_concentration_floor(128) == 0.04
+    assert clifford_concentration_floor(512) == 0.07
+    assert clifford_concentration_floor(1024) == 0.10
+    assert clifford_concentration_floor(2048) == 0.13
+    assert clifford_concentration_floor(4096) == 0.16
+
+
+def test_beta_schedules():
+    from cliffordtpu.train.schedules import cyclical_kl_beta, linear_kl_warmup
+
+    assert linear_kl_warmup(0, 100) == 0.01
+    assert linear_kl_warmup(99, 100) == 1.0
+    assert linear_kl_warmup(150, 100) == 1.0
+    # warmup ramp then triangle
+    assert cyclical_kl_beta(0, 10, 20, 0.1, 1.0) == pytest.approx(0.1)
+    assert cyclical_kl_beta(9, 10, 20, 0.1, 1.0) == pytest.approx(1.0)
+    assert cyclical_kl_beta(10, 10, 20, 0.1, 1.0) == pytest.approx(0.1)
+    assert cyclical_kl_beta(20, 10, 20, 0.1, 1.0) == pytest.approx(1.0)
+    assert cyclical_kl_beta(30, 10, 20, 0.1, 1.0) == pytest.approx(0.1)
+
+
+def test_ps_token_scaling():
+    """PS per-token samples are scaled by sqrt(latent_dim) (:491)."""
+    model = CliffordARVAE(
+        latent_dim=16, image_size=32, in_channels=1,
+        distribution="powerspherical", cnn_chs=[8, 16, 32], z_channels=32,
+        encoder_vit_layers=1, decoder_vit_layers=1, patch_size=4,
+    )
+    x = jax.random.uniform(KEY, (2, 32, 32, 1))
+    variables = model.init({"params": KEY, "sample": KEY}, x)
+    flat = model.apply(variables, x, rngs={"sample": KEY},
+                       method=model.get_flat_latent)
+    z = flat.reshape(2, 64, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(z), axis=-1), 4.0, atol=1e-3
+    )
