@@ -183,11 +183,11 @@ def test_self_binding(
                         rec = unbind(rec, parts[i], method=unbind_method)
                     row.append(rec)
                 rows.append(row)
+            from cliffordtpu.eval.plots import to_image
+
             flat = jnp.stack([v for row in rows for v in row], 0)
-            imgs = handle.decode(flat)
-            imgs = np.asarray(jnp.clip(imgs * 0.5 + 0.5, 0, 1))
-            h, w, c = img_shape
-            imgs = imgs.reshape(-1, *imgs.shape[1:])
+            imgs = np.asarray(to_image(handle, handle.decode(flat)))
+            imgs = imgs.reshape(-1, *img_shape)
             n_rows, n_cols = len(rows), len(rows[0])
             canvas = np.zeros((n_rows * imgs.shape[1],
                                n_cols * imgs.shape[2], imgs.shape[3]))
@@ -324,8 +324,11 @@ def test_pairwise_bind_bundle_decode(
                            + float(similarity(rec_b, zb))))
         rows.append([za, zb, bound, bundled, rec_a, rec_b])
 
+    from cliffordtpu.eval.plots import to_image
+
     flat = jnp.stack([v for row in rows for v in row], 0)
-    imgs = np.asarray(jnp.clip(handle.decode(flat) * 0.5 + 0.5, 0, 1))
+    imgs = np.asarray(to_image(handle, handle.decode(flat)))
+    imgs = imgs.reshape(-1, *img_shape)
     n_rows, n_cols = len(rows), 6
     ih, iw = imgs.shape[1], imgs.shape[2]
     canvas = np.zeros((n_rows * ih, n_cols * iw, imgs.shape[3]))
@@ -397,8 +400,11 @@ def test_cross_class_bind_unbind(
         sims[f"sim_b_{method}"] = float(similarity(rec_b, zb))
         rows.append([za, rec_a, zb, rec_b])
 
+    from cliffordtpu.eval.plots import to_image
+
     flat = jnp.stack([v for row in rows for v in row], 0)
-    imgs = np.asarray(jnp.clip(handle.decode(flat) * 0.5 + 0.5, 0, 1))
+    imgs = np.asarray(to_image(handle, handle.decode(flat)))
+    imgs = imgs.reshape(-1, *img_shape)
     ih, iw = imgs.shape[1], imgs.shape[2]
     canvas = np.zeros((2 * ih, 4 * iw, imgs.shape[3]))
     k = 0
@@ -429,3 +435,10 @@ def test_cross_class_bind_unbind(
     plt.close()
 
     return {"plot_path": path, **sims}
+
+
+# reference-parity names, not pytest tests
+test_self_binding.__test__ = False
+test_vsa_operations.__test__ = False
+test_pairwise_bind_bundle_decode.__test__ = False
+test_cross_class_bind_unbind.__test__ = False

@@ -1,0 +1,247 @@
+"""Comparison plots and LaTeX/CSV result tables
+(``utils/wandb_utils.py:848-1134``).  Pure host-side artifact emission; the
+output contract (filenames, CSV header, booktabs layout, bold-best rule)
+matches the reference."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+COLORS = {
+    "clifford": "#2196F3",
+    "powerspherical": "#FF9800",
+    "gaussian": "#4CAF50",
+    "gaussian_nol2": "#9C27B0",
+    "normal": "#4CAF50",
+    "normal_nol2": "#9C27B0",
+    "vmf": "#E91E63",
+    "random_hrr": "#999999",
+    "unitary": "#555555",
+}
+LABELS = {
+    "clifford": "Clifford",
+    "powerspherical": "PowerSpherical",
+    "gaussian": "Gaussian (L2)",
+    "gaussian_nol2": "Gaussian",
+    "normal": "Gaussian (L2)",
+    "normal_nol2": "Gaussian",
+    "vmf": "vMF",
+    "random_hrr": "random HRR (ref.)",
+    "unitary": "unitary (ref.)",
+}
+LABELS_TEX = {
+    "clifford": "$\\mathcal{C}$-VAE",
+    "powerspherical": "$\\mathcal{S}$-VAE",
+    "gaussian": "$\\mathcal{N}$-VAE (L2)",
+    "gaussian_nol2": "$\\mathcal{N}$-VAE",
+    "normal": "$\\mathcal{N}$-VAE (L2)",
+    "normal_nol2": "$\\mathcal{N}$-VAE",
+    "vmf": "vMF-VAE",
+}
+ORDER = ["random_hrr", "unitary", "gaussian_nol2", "gaussian",
+         "normal_nol2", "normal", "vmf", "powerspherical", "clifford"]
+
+
+def plot_cross_dist_comparison_dim(dim_results: Dict, latent_dim: int,
+                                   dataset_name: str, output_dir: str):
+    """3-panel bundle / self-binding / role-filler comparison at one d
+    (``wandb_utils.py:848-928``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+    for dist_name in ORDER:
+        metrics = dim_results.get(dist_name)
+        if metrics is None:
+            continue
+        ls = "--" if dist_name in ("random_hrr", "unitary") else "-"
+        lw = 1 if dist_name in ("random_hrr", "unitary") else 2
+        color = COLORS.get(dist_name, "black")
+        label = LABELS.get(dist_name, dist_name)
+
+        bc = metrics.get("bundle_cap")
+        if bc and bc.get("k") and bc.get("accuracy"):
+            axes[0].plot(bc["k"], bc["accuracy"], marker="o", markersize=5,
+                         color=color, linestyle=ls, label=label, linewidth=lw)
+        k_sims = metrics.get("self_binding_k_sims", [])
+        k_vals = metrics.get("self_binding_k_values", [])
+        if k_sims and k_vals:
+            axes[1].plot(k_vals, k_sims, marker="o", markersize=5,
+                         color=color, linestyle=ls, label=label, linewidth=lw)
+        rf = metrics.get("role_filler")
+        if rf and rf.get("k") and rf.get("accuracy"):
+            axes[2].plot(rf["k"], rf["accuracy"], marker="s", markersize=5,
+                         color=color, linestyle=ls, label=label, linewidth=lw)
+
+    axes[0].set_xlabel("Number of Bundled Vectors ($k$)")
+    axes[0].set_ylabel("Retrieval Accuracy")
+    axes[0].set_title(f"Bundle Capacity ($d={latent_dim}$)")
+    axes[0].set_ylim(0, 1.05)
+    axes[1].set_xlabel("Number of Recursive Bind-Unbind Cycles ($m$)")
+    axes[1].set_ylabel("Cosine Similarity to Original")
+    axes[1].set_title(f"Invertible Self-Binding ($d={latent_dim}$)")
+    axes[1].set_ylim(-0.1, 1.05)
+    axes[2].set_xlabel("Number of Bundled Role-Filler Pairs ($k$)")
+    axes[2].set_ylabel("Unbinding Accuracy")
+    axes[2].set_title(f"Role-Filler Capacity ($d={latent_dim}$)")
+    axes[2].set_ylim(0, 1.05)
+    for ax in axes:
+        ax.legend(fontsize=8)
+        ax.grid(alpha=0.3)
+    fig.suptitle(f"{dataset_name} — VSA Comparison ($d={latent_dim}$)",
+                 fontsize=13)
+    plt.tight_layout()
+    os.makedirs(output_dir, exist_ok=True)
+    save_path = os.path.join(output_dir, f"vsa_comparison_d{latent_dim}.png")
+    plt.savefig(save_path, dpi=300)
+    plt.close()
+    return save_path
+
+
+def plot_across_dims_comparison(across_dim_results: Dict,
+                                latent_dims_used: List[int],
+                                dataset_name: str,
+                                output_dir: str) -> Optional[str]:
+    """LaTeX booktabs + CSV of kNN acc / macro-F1 / mean-cosine across dims,
+    best-per-column bolded (``wandb_utils.py:931-1134``)."""
+    dist_order = [d for d in ["gaussian_nol2", "gaussian", "normal_nol2",
+                              "normal", "vmf", "powerspherical", "clifford"]
+                  if d in across_dim_results
+                  and across_dim_results[d].get("dims")]
+    if not dist_order:
+        return None
+
+    dims = across_dim_results[dist_order[0]]["dims"]
+    train_sizes = [100, 600, 1000]
+    has_mean_cosine = any(
+        len(across_dim_results[d].get("mean_cosine", [])) > 0
+        for d in dist_order)
+    metric_keys = {
+        "knn": ["knn_100", "knn_600", "knn_1000"],
+        "f1": ["f1_100", "f1_600", "f1_1000"],
+    }
+    os.makedirs(output_dir, exist_ok=True)
+
+    def fmt_pct(v):
+        return f"{v * 100:.1f}" if v <= 1.0 else f"{v:.1f}"
+
+    rows = []
+    for dist_name in dist_order:
+        data = across_dim_results[dist_name]
+        for m in ["knn", "f1"]:
+            for n_train, kk in zip(train_sizes, metric_keys[m]):
+                vals = list(data.get(kk, []))
+                vals = vals + [float("nan")] * (len(dims) - len(vals))
+                rows.append((dist_name, m, n_train, vals[: len(dims)]))
+        if has_mean_cosine:
+            vals = list(data.get("mean_cosine", []))
+            vals = vals + [float("nan")] * (len(dims) - len(vals))
+            rows.append((dist_name, "mean_cosine", None, vals[: len(dims)]))
+
+    best_vals = defaultdict(lambda: (float("-inf"), None))
+    for dist_name, m, n_train, vals in rows:
+        for di, v in enumerate(vals):
+            if np.isnan(v):
+                continue
+            ck = (m, n_train, di)
+            if v > best_vals[ck][0]:
+                best_vals[ck] = (v, dist_name)
+    best_dist = {k: d for k, (_, d) in best_vals.items()}
+
+    n_dists = len(dist_order)
+    dist_syms = [LABELS_TEX.get(d, d) for d in dist_order]
+    lines = [
+        "\\begin{table}[h]",
+        "\\centering",
+        f"\\caption{{Semi-supervised $k$-NN results on "
+        f"{dataset_name.replace('_', ' ').title()} (CNN, across latent "
+        f"dimensions).}}",
+        f"\\label{{tab:{dataset_name}_cnn_knn}}",
+    ]
+    col_spec = "l" + ("|" + "c" * n_dists) * len(train_sizes)
+    lines.append(f"\\begin{{tabular}}{{{col_spec}}}")
+    lines.append("\\toprule")
+    header1 = " "
+    for n_train in train_sizes:
+        header1 += f" & \\multicolumn{{{n_dists}}}{{c|}}{{{n_train}}}"
+    lines.append(header1.rstrip("|") + " \\\\")
+    header2 = "Method"
+    for _ in train_sizes:
+        for sym in dist_syms:
+            header2 += f" & {sym}"
+    lines.append(header2 + " \\\\")
+    lines.append("\\midrule")
+
+    def _lookup(dist_name, m, n_train, di):
+        for dn, rm, rn, vals in rows:
+            if dn == dist_name and rm == m and rn == n_train:
+                return vals[di]
+        return float("nan")
+
+    for m, m_label in [("knn", "Accuracy"), ("f1", "Macro F1")]:
+        lines.append(
+            f"\\multicolumn{{{1 + n_dists * len(train_sizes)}}}{{l}}"
+            f"{{\\textit{{{m_label}}}}} \\\\")
+        for di, d in enumerate(dims):
+            row_str = f"$d = {d}$"
+            for n_train in train_sizes:
+                for dist_name in dist_order:
+                    val = _lookup(dist_name, m, n_train, di)
+                    if np.isnan(val):
+                        row_str += " & —"
+                    else:
+                        s = fmt_pct(val)
+                        row_str += (
+                            f" & \\textbf{{{s}}}"
+                            if best_dist.get((m, n_train, di)) == dist_name
+                            else f" & {s}")
+            lines.append(row_str + " \\\\")
+        lines.append("\\addlinespace")
+
+    if has_mean_cosine:
+        lines.append(
+            f"\\multicolumn{{{1 + n_dists * len(train_sizes)}}}{{l}}"
+            "{\\textit{Mean Cosine Acc.}} \\\\")
+        for di, d in enumerate(dims):
+            row_str = f"$d = {d}$"
+            best_mc_val, best_mc_dist = float("-inf"), None
+            for dist_name in dist_order:
+                v = _lookup(dist_name, "mean_cosine", None, di)
+                if not np.isnan(v) and v > best_mc_val:
+                    best_mc_val, best_mc_dist = v, dist_name
+            for n_train in train_sizes:
+                for dist_name in dist_order:
+                    val = _lookup(dist_name, "mean_cosine", None, di)
+                    if np.isnan(val):
+                        row_str += " & —"
+                    else:
+                        s = fmt_pct(val)
+                        row_str += (f" & \\textbf{{{s}}}"
+                                    if dist_name == best_mc_dist
+                                    else f" & {s}")
+            lines.append(row_str + " \\\\")
+        lines.append("\\addlinespace")
+
+    lines += ["\\bottomrule", "\\end{tabular}", "\\end{table}"]
+    tex_path = os.path.join(output_dir, f"{dataset_name}_results.tex")
+    with open(tex_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"latex table saved to {tex_path}")
+
+    csv_lines = ["method,metric,n_train," + ",".join(f"d={d}" for d in dims)]
+    for dist_name, m, n_train, vals in rows:
+        label = LABELS.get(dist_name, dist_name)
+        n_str = str(n_train) if n_train else "—"
+        val_strs = [f"{v:.4f}" if not np.isnan(v) else "" for v in vals]
+        csv_lines.append(f"{label},{m},{n_str}," + ",".join(val_strs))
+    csv_path = os.path.join(output_dir, f"{dataset_name}_results.csv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(csv_lines))
+    print(f"csv saved to {csv_path}")
+    return tex_path

@@ -416,3 +416,10 @@ def test_per_class_bundle_capacity_k_items(
         plt.close()
 
     return results
+
+
+# these are VSA *evaluations* named test_* for reference parity, not pytest
+# tests (SURVEY.md §4) — keep pytest from collecting them on import
+test_bundle_capacity.__test__ = False
+test_binding_unbinding_pairs.__test__ = False
+test_per_class_bundle_capacity_k_items.__test__ = False
