@@ -36,7 +36,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_jax() -> float:
+def measure_jax(dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -44,10 +44,11 @@ def measure_jax() -> float:
     from cliffordtpu.train.loop import make_cnn_train_step
     from cliffordtpu.train.state import create_train_state
 
-    log(f"jax devices: {jax.devices()}")
+    log(f"jax devices: {jax.devices()}, compute dtype: {dtype}")
     model = CliffordARVAE(
         latent_dim=LATENT, image_size=IMG, in_channels=1,
         distribution="clifford",
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (BATCH, IMG, IMG, 1)) * 2.0 - 1.0
@@ -129,9 +130,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
-    jax_sps = measure_jax()
+    jax_sps = measure_jax(args.dtype)
     if args.skip_baseline:
         baseline = None
     else:

@@ -441,3 +441,114 @@ def plot_latent_interpolations(handle, fixed_pairs, save_dir,
                      (n_steps, len(fixed_pairs)))
         paths.append(path)
     return paths
+
+
+def plot_powerspherical_manifold_visualization(handle, output_dir,
+                                               n_samples=256, dims=(0, 1),
+                                               img_shape=(28, 28, 1),
+                                               key=None):
+    """Random unit-sphere decodes on a 12x12 grid
+    (``wandb_utils.py:733-789``)."""
+    if handle.distribution != "powerspherical" or handle.latent_dim < 2:
+        return None
+    key = key if key is not None else jax.random.PRNGKey(0)
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "powerspherical_manifold_visualization.png")
+    g = 12
+    z = jax.random.normal(key, (g * g, handle.latent_dim))
+    z = z / jnp.clip(jnp.linalg.norm(z, axis=-1, keepdims=True), min=1e-12)
+    if handle.num_tokens:
+        z = jnp.tile(z, (1, handle.num_tokens))
+    imgs = np.asarray(to_image(handle, handle.decode(z))).reshape(
+        -1, *img_shape)
+    h, w, c = img_shape
+    canvas = np.zeros((g * h, g * w, c), np.float32)
+    for i in range(g):
+        for j in range(g):
+            canvas[i * h:(i + 1) * h, j * w:(j + 1) * w] = imgs[i * g + j]
+    return _imshow_save(canvas, path,
+                        "Power Spherical Manifold Reconstructions", (8, 8))
+
+
+def plot_gaussian_manifold_visualization(handle, output_dir, n_samples=144,
+                                         dims=(0, 1), img_shape=(28, 28, 1),
+                                         key=None):
+    """Random N(0,I) decodes on a 12x12 grid (``wandb_utils.py:791-845``)."""
+    if handle.distribution not in ("gaussian", "normal") or \
+            handle.latent_dim < 2:
+        return None
+    key = key if key is not None else jax.random.PRNGKey(0)
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "gaussian_manifold_visualization.png")
+    g = 12
+    z = jax.random.normal(key, (g * g, handle.latent_dim))
+    if handle.num_tokens:
+        z = jnp.tile(z, (1, handle.num_tokens))
+    imgs = np.asarray(to_image(handle, handle.decode(z))).reshape(
+        -1, *img_shape)
+    h, w, c = img_shape
+    canvas = np.zeros((g * h, g * w, c), np.float32)
+    for i in range(g):
+        for j in range(g):
+            canvas[i * h:(i + 1) * h, j * w:(j + 1) * w] = imgs[i * g + j]
+    return _imshow_save(
+        canvas, path,
+        "Gaussian Manifold Random Sample Reconstructions", (8, 8))
+
+
+def plot_decoded_bundles(handle, x, y, save_path, class_names=None,
+                         n_samples=500, max_bundle_size=5, key=None):
+    """Bundle class-prototype latents and decode (``fashion_train.py:446-518``).
+
+    Rows = bundle size k in 2..max; 3 seeded class combos per row
+    (RandomState(42), matching the reference)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    plt = _plt()
+    all_z, all_labels = [], []
+    n = 0
+    for s in range(0, min(len(x), n_samples * 2), 200):
+        z = handle.flat_z(x[s:s + 200], jax.random.fold_in(key, s))
+        all_z.append(z)
+        all_labels.append(np.asarray(y[s:s + 200]))
+        n += z.shape[0]
+        if n >= n_samples:
+            break
+    all_z = jnp.concatenate(all_z, 0)[:n_samples]
+    all_labels = np.concatenate(all_labels, 0)[:n_samples]
+
+    unique_classes = sorted(np.unique(all_labels).tolist())
+    class_means = {
+        c: all_z[np.where(all_labels == c)[0]].mean(0)
+        for c in unique_classes
+    }
+    bundle_sizes = list(range(2, min(max_bundle_size + 1,
+                                     len(unique_classes) + 1)))
+    n_combos = 3
+    rng = np.random.RandomState(42)
+
+    fig, axes = plt.subplots(len(bundle_sizes), n_combos,
+                             figsize=(3 * n_combos, 3 * len(bundle_sizes)))
+    axes = np.atleast_2d(axes)
+    for row, k in enumerate(bundle_sizes):
+        for col in range(n_combos):
+            chosen = rng.choice(unique_classes, size=k,
+                                replace=False).tolist()
+            bundle_vec = sum(class_means[c] for c in chosen)
+            decoded = to_image(handle, handle.decode(bundle_vec[None]))
+            img = np.asarray(decoded)[0]
+            if img.ndim == 1:
+                side = int(math.isqrt(img.shape[0]))
+                img = img.reshape(side, side, 1)
+            if img.shape[-1] == 1:
+                axes[row, col].imshow(img[..., 0], cmap="gray")
+            else:
+                axes[row, col].imshow(img)
+            names = [class_names[c] if class_names else str(c)
+                     for c in chosen]
+            axes[row, col].set_title("+".join(names), fontsize=8)
+            axes[row, col].axis("off")
+    plt.suptitle("Decoded Class-Prototype Bundles")
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=200, bbox_inches="tight")
+    plt.close()
+    return save_path

@@ -19,7 +19,7 @@ scaled by sqrt(latent_dim) (``:491``).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -61,8 +61,8 @@ def apply_rotary(x, cos, sin):
     B, S, H, D = x.shape
     x2 = x.reshape(B, S, H, D // 2, 2)
     x0, x1 = x2[..., 0], x2[..., 1]
-    cos = cos[:S][None, :, None, :]
-    sin = sin[:S][None, :, None, :]
+    cos = cos[:S][None, :, None, :].astype(x.dtype)
+    sin = sin[:S][None, :, None, :].astype(x.dtype)
     out0 = x0 * cos - x1 * sin
     out1 = x0 * sin + x1 * cos
     return jnp.stack([out0, out1], axis=-1).reshape(B, S, H, D)
@@ -75,16 +75,18 @@ class SwiGLU(nn.Module):
     """``cliffordar_model.py:69-79``."""
 
     d_model: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d_ff = int(self.d_model * 8 / 3)
         d_ff = ((d_ff + 255) // 256) * 256
-        w1 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER)(x)
-        w3 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER)(x)
-        return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(
-            nn.silu(w1) * w3
-        )
+        w1 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER,
+                      dtype=self.dtype)(x)
+        w3 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER,
+                      dtype=self.dtype)(x)
+        return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER,
+                        dtype=self.dtype)(nn.silu(w1) * w3)
 
 
 class Attention(nn.Module):
@@ -92,14 +94,18 @@ class Attention(nn.Module):
 
     d_model: int
     n_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin):
         B, S, D = x.shape
         hd = self.d_model // self.n_heads
-        q = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
-        k = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
-        v = nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(x)
+        q = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                     dtype=self.dtype)(x)
+        k = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                     dtype=self.dtype)(x)
+        v = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                     dtype=self.dtype)(x)
         q = q.reshape(B, S, self.n_heads, hd)
         k = k.reshape(B, S, self.n_heads, hd)
         v = v.reshape(B, S, self.n_heads, hd)
@@ -108,7 +114,8 @@ class Attention(nn.Module):
             k = apply_rotary(k, cos, sin)
         out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, S, D)
-        return nn.Dense(D, use_bias=False, kernel_init=_XAVIER)(out)
+        return nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                        dtype=self.dtype)(out)
 
 
 class TransformerBlock(nn.Module):
@@ -116,13 +123,15 @@ class TransformerBlock(nn.Module):
 
     d_model: int
     n_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cos, sin):
-        x = x + Attention(self.d_model, self.n_heads)(
+        x = x + Attention(self.d_model, self.n_heads, dtype=self.dtype)(
             nn.RMSNorm(epsilon=1e-6)(x), cos, sin
-        )
-        x = x + SwiGLU(self.d_model)(nn.RMSNorm(epsilon=1e-6)(x))
+        ).astype(x.dtype)
+        x = x + SwiGLU(self.d_model, dtype=self.dtype)(
+            nn.RMSNorm(epsilon=1e-6)(x)).astype(x.dtype)
         return x
 
 
@@ -195,6 +204,7 @@ class ViTEncoder(nn.Module):
     image_size: int
     patch_size: int
     register_tokens: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image):
@@ -220,7 +230,8 @@ class ViTEncoder(nn.Module):
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
         for _ in range(self.n_layers):
-            x = TransformerBlock(self.d_model, self.n_heads)(x, cos, sin)
+            x = TransformerBlock(self.d_model, self.n_heads,
+                                 dtype=self.dtype)(x, cos, sin)
         x = x[:, self.register_tokens:, :]
         x = nn.RMSNorm(epsilon=1e-6)(x)
         return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(x)
@@ -235,6 +246,7 @@ class ViTDecoder(nn.Module):
     image_size: int
     patch_size: int
     register_tokens: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -260,7 +272,8 @@ class ViTDecoder(nn.Module):
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
         for _ in range(self.n_layers):
-            x = TransformerBlock(self.d_model, self.n_heads)(x, cos, sin)
+            x = TransformerBlock(self.d_model, self.n_heads,
+                                 dtype=self.dtype)(x, cos, sin)
         x = x[:, self.register_tokens:, :]
         x = x.reshape(B, g, g, self.d_model)
         for ch in self.cnn_chs[1:]:
@@ -316,6 +329,8 @@ class CliffordARVAE(nn.Module):
     patch_size: Optional[int] = None
     register_tokens: int = 4
     concentration_floor: float = 0.03
+    dtype: Any = jnp.float32  # compute dtype for transformer matmuls (bf16
+    # for TPU throughput; params and distribution math stay f32)
 
     def _cfg(self):
         cfg = default_config(self.image_size)
@@ -342,6 +357,7 @@ class CliffordARVAE(nn.Module):
             n_layers=cfg["enc_layers"], n_heads=n_heads, d_model=zc,
             cnn_chs=cfg["cnn_chs"], image_size=self.image_size,
             patch_size=cfg["patch_size"], register_tokens=self.register_tokens,
+            dtype=self.dtype,
         )
         if self.distribution == "gaussian":
             self.quant_proj = nn.Dense(self.latent_dim * 2, kernel_init=_XAVIER)
@@ -354,7 +370,7 @@ class CliffordARVAE(nn.Module):
             n_layers=cfg["dec_layers"], n_heads=n_heads, d_model=zc,
             cnn_chs=cfg["cnn_chs"][::-1], out_channels=self.in_channels,
             image_size=self.image_size, patch_size=cfg["patch_size"],
-            register_tokens=self.register_tokens,
+            register_tokens=self.register_tokens, dtype=self.dtype,
         )
         self._dec_latent_dim = dec_latent
         if self.use_learnable_beta:

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""FashionMNIST CNN/ViT/Hybrid VAE sweep — JAX rebuild of
+``cnn/fashion_train.py:675-1513`` (flags and artifacts preserved; engine in
+``cliffordtpu/runners/cnn_runner.py``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon sitecustomize pins the platform to the TPU tunnel regardless of
+# JAX_PLATFORMS; re-assert the user's choice so CPU smoke runs stay on CPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from cliffordtpu.runners.cnn_runner import run_cnn_experiments
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="clifford vae experiments on fashionmnist")
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--warmup_epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--no-l2_norm", dest="l2_norm", action="store_false")
+    p.set_defaults(l2_norm=True)
+    p.add_argument("--recon_loss", type=str, default="l1",
+                   choices=["mse", "l1"])
+    p.add_argument("--l1_weight", type=float, default=1.0)
+    p.add_argument("--max_beta", type=float, default=1.0)
+    p.add_argument("--min_beta", type=float, default=0.1)
+    p.add_argument("--use_learnable_beta", action="store_true")
+    p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--keep_ckpts", action="store_true")
+    p.add_argument("--wandb_project", type=str,
+                   default="clifford-experiments-CNN")
+    p.add_argument("--patience", type=int, default=50)
+    p.add_argument("--cycle_epochs", type=int, default=250)
+    p.add_argument("--n_trials", type=int, default=30)
+    p.add_argument("--exclude_class", type=int, default=-1)
+    p.add_argument("--latent_dims", type=int, nargs="+",
+                   default=[128, 256, 512, 1024, 2048, 4096])
+    p.add_argument("--braid", action="store_true")
+    p.add_argument("--distributions", type=str, nargs="+", default=None,
+                   choices=["clifford", "powerspherical", "gaussian",
+                            "gaussian_nol2"])
+    p.add_argument("--start_trial", type=int, default=1)
+    p.add_argument("--arch", type=str, default="cnn",
+                   choices=["cnn", "vit", "hybrid"])
+    # extensions (defaults preserve reference behavior)
+    p.add_argument("--outdir", type=str, default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit_train", type=int, default=None)
+    p.add_argument("--limit_test", type=int, default=None)
+    p.add_argument("--vsa_trials", type=int, default=20)
+    p.add_argument("--fid_samples", type=int, default=2048)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    if args.distributions is None:
+        args.distributions = ["clifford", "powerspherical", "gaussian",
+                              "gaussian_nol2"]
+    run_cnn_experiments(args, "fashionmnist", "fashion_train",
+                        full_eval=True)

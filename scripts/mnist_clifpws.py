@@ -1,0 +1,399 @@
+#!/usr/bin/env python
+"""MNIST experiment runner: clifford / powerspherical / gaussian sweep.
+
+JAX rebuild of ``mnist/mnist_clifpws.py:176-749`` with flag and artifact
+parity: same flags and defaults, same output files
+(``visualizations/d_{d}/{dist}/*.png``,
+``results/mnist-{dist}-d{d}-l1-trial{n}/{vsa_raw,metrics}.json``,
+``mnist_vae_results.csv``, ``mnist_clifpws_timing.json``) relative to
+``--outdir``.
+
+Run ``--epochs 2 --n_runs 1 --d_dims 5`` for a smoke test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon sitecustomize pins the platform to the TPU tunnel regardless of
+# JAX_PLATFORMS; re-assert the user's choice so CPU smoke runs stay on CPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jax.numpy as jnp
+import numpy as np
+
+from cliffordtpu.data import load_dataset
+from cliffordtpu.eval import ModelHandle
+from cliffordtpu.eval.binding import (
+    test_cross_class_bind_unbind,
+    test_pairwise_bind_bundle_decode,
+    test_self_binding,
+)
+from cliffordtpu.eval.class_means import (
+    compute_class_means,
+    evaluate_mean_vector_cosine,
+)
+from cliffordtpu.eval.knn import perform_knn_evaluation
+from cliffordtpu.eval.plots import (
+    plot_clifford_manifold_visualization,
+    plot_gaussian_manifold_visualization,
+    plot_interpolations,
+    plot_latent_space,
+    plot_powerspherical_manifold_visualization,
+    plot_reconstructions,
+)
+from cliffordtpu.nn import MLPVAE
+from cliffordtpu.nn.losses import compute_test_metrics
+from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
+from cliffordtpu.train.schedules import linear_kl_warmup
+from cliffordtpu.train.state import create_train_state
+from cliffordtpu.utils import WandbLogger, ensure_dir
+from cliffordtpu.vsa.capacity import (
+    test_binding_unbinding_pairs as vsa_binding_unbinding,
+    test_bundle_capacity as vsa_bundle_capacity,
+    test_per_class_bundle_capacity_k_items,
+)
+
+KNN_SAMPLES = [100, 600, 1000]
+DISTRIBUTIONS = ["normal", "normal_nol2", "powerspherical", "clifford"]
+
+
+def _jsonable(o):
+    if isinstance(o, dict):
+        return {k: _jsonable(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_jsonable(v) for v in o]
+    if hasattr(o, "tolist"):
+        return o.tolist()
+    return o
+
+
+def _batches(x, y, bs):
+    for s in range(0, len(x), bs):
+        yield x[s:s + bs], y[s:s + bs]
+
+
+def run(args):
+    script_start_time = time.time()
+    timing_results = {}
+    os.chdir(ensure_dir(args.outdir))
+    print(f"Using device: {jax.devices()[0]}")
+
+    ds = load_dataset("mnist", n_train=args.limit_train,
+                      n_test=args.limit_test)
+    if ds["source"] == "synthetic":
+        print("WARNING: no real MNIST found — using the synthetic fallback "
+              "(cliffordtpu/data/loaders.py)")
+    x_all = ds["x_train"].reshape(len(ds["x_train"]), -1)
+    y_all = ds["y_train"]
+    # 90/10 train/val split (reference :194-196)
+    n_train = int(0.9 * len(x_all))
+    x_train, y_train = x_all[:n_train], y_all[:n_train]
+    x_val = x_all[n_train:]
+    x_test = ds["x_test"].reshape(len(ds["x_test"]), -1)
+    y_test = ds["y_test"]
+
+    root_key = jax.random.PRNGKey(args.seed)
+    logger = WandbLogger(args)
+    final_results = []
+
+    for mdim in args.d_dims:
+        print(f"\n{'=' * 30}\n==d = {mdim} ==\n{'=' * 30}")
+        agg_results = {d: {s: [] for s in KNN_SAMPLES} for d in DISTRIBUTIONS}
+        agg_f1 = {d: {s: [] for s in KNN_SAMPLES} for d in DISTRIBUTIONS}
+        agg_metrics = {d: {"ll": [], "entropy": [], "recon": [], "kl": []}
+                       for d in DISTRIBUTIONS}
+        agg_mvc = {d: [] for d in DISTRIBUTIONS}
+
+        for dist in DISTRIBUTIONS:
+            model_z_dim = mdim + 1 if dist == "powerspherical" else mdim
+            if dist == "clifford" and mdim < 2:
+                continue
+            print(f"\n--- Testing {dist.upper()}-VAE with d={mdim} "
+                  f"(model z_dim={model_z_dim}, lr={args.lr}) ---")
+
+            for run_i in range(args.n_runs):
+                print(f"\n--- Run {run_i + 1}/{args.n_runs} ---")
+                run_start_time = time.time()
+                run_key = jax.random.fold_in(
+                    jax.random.fold_in(root_key, mdim * 1000 + run_i),
+                    hash(dist) % 100_000)
+                if logger.use:
+                    logger.start_run(f"{dist}-d{mdim}-run{run_i + 1}", args)
+
+                l2_norm = dist == "normal"
+                model_dist = "normal" if dist == "normal_nol2" else dist
+                model = MLPVAE(h_dim=args.h_dim, z_dim=model_z_dim,
+                               distribution=model_dist, l2_normalize=l2_norm)
+                state = create_train_state(
+                    run_key, model, jnp.zeros((2, 784)), optimizer="adam",
+                    lr=args.lr, clip_norm=1.0)
+
+                train_step = make_mlp_train_step(model)
+                eval_step = make_mlp_eval_step(model)
+
+                train_start_time = time.time()
+                state, history = fit(
+                    state, train_step, eval_step,
+                    jax.random.fold_in(run_key, 1),
+                    x_train, x_val,
+                    epochs=args.epochs, batch_size=args.batch_size,
+                    beta_fn=lambda e: linear_kl_warmup(e, args.warmup_epochs),
+                    patience=args.patience if args.patience > 0 else 10**9,
+                    log_fn=(lambda e, m: logger.log_metrics(
+                        {"epoch": e, **m})) if logger.use else None,
+                )
+                best_val_loss = history["best_val"]
+                train_time = time.time() - train_start_time
+                print(f"training time for {dist}-d{mdim}-run{run_i + 1}: "
+                      f"{train_time:.2f}s "
+                      f"({len(history['train_loss'])} epochs)")
+
+                eval_start_time = time.time()
+                handle = ModelHandle(model, state.params)
+                ekey = jax.random.fold_in(run_key, 2)
+
+                test_metrics = compute_test_metrics(
+                    ekey, model, state.params,
+                    _batches(x_test, y_test, 512))
+                for mname in ["ll", "entropy", "recon", "kl"]:
+                    agg_metrics[dist][mname].append(test_metrics[mname])
+                print(f"  LL: {test_metrics['ll']:.2f}, "
+                      f"L[q]: {test_metrics['entropy']:.2f}, "
+                      f"RE: {test_metrics['recon']:.2f}, "
+                      f"KL: {test_metrics['kl']:.2f}")
+
+                knn_results = perform_knn_evaluation(
+                    handle, x_train, y_train, x_test, y_test,
+                    [s for s in KNN_SAMPLES if s <= len(x_train)], key=ekey)
+                for s in KNN_SAMPLES:
+                    if f"knn_acc_{s}" in knn_results:
+                        agg_results[dist][s].append(knn_results[f"knn_acc_{s}"])
+                        agg_f1[dist][s].append(knn_results[f"knn_f1_{s}"])
+
+                vis_dir = ensure_dir(f"visualizations/d_{mdim}/{dist}")
+                deconv_dir = ensure_dir(f"{vis_dir}/deconv")
+                x_sub, y_sub = x_test[:1000], y_test[:1000]
+
+                fourier_pseudo = test_self_binding(
+                    handle, x_sub, y_sub, vis_dir, unbind_method="*",
+                    key=ekey)
+                fourier_deconv = test_self_binding(
+                    handle, x_sub, y_sub, deconv_dir, unbind_method="†",
+                    key=ekey)
+
+                # item memory of posterior means (reference :364-376)
+                n_mem = min(500, len(x_test))
+                item_memory = handle.latent_mu(x_test[:n_mem], ekey)
+                item_labels = y_test[:n_mem]
+                item_images = ds["x_test"][:n_mem]
+
+                print(f"running 1-item-per-class test ({dist})...")
+                test_per_class_bundle_capacity_k_items(
+                    d=item_memory.shape[-1], n_items=n_mem, n_classes=10,
+                    items_per_class=1, n_trials=2, plot=True,
+                    save_dir=vis_dir, item_memory=item_memory,
+                    labels=jnp.asarray(item_labels),
+                    item_images=item_images * 2 - 1,
+                    class_names=[str(i) for i in range(10)], key=ekey)
+
+                print(f"running bundle capacity ({dist})...")
+                bundle_cap_raw = vsa_bundle_capacity(
+                    d=item_memory.shape[-1], n_items=n_mem,
+                    k_range=list(range(5, 51, 5)), n_trials=args.vsa_trials,
+                    plot=True, save_dir=vis_dir, item_memory=item_memory,
+                    key=ekey)
+
+                print(f"running role-filler unbinding ({dist})...")
+                rf_results = {}
+                for ubmethod, rf_name in [
+                    ("*", "role_filler_no_random_keys"),
+                    ("†", "role_filler_no_random_keys_deconv"),
+                ]:
+                    save_d = deconv_dir if ubmethod == "†" else vis_dir
+                    rf_res = vsa_binding_unbinding(
+                        d=item_memory.shape[-1], n_items=n_mem,
+                        k_range=list(range(2, 21, 2)),
+                        n_trials=args.vsa_trials, plot=True,
+                        unbind_method=ubmethod, save_dir=save_d,
+                        item_memory=item_memory, bind_with_random=False,
+                        key=ekey)
+                    rf_results[rf_name] = rf_res
+                    default_plot = os.path.join(save_d,
+                                                "role_filler_capacity.png")
+                    if os.path.exists(default_plot):
+                        os.rename(default_plot,
+                                  os.path.join(save_d, f"{rf_name}.png"))
+                role_filler_raw = rf_results.get(
+                    "role_filler_no_random_keys", {})
+
+                test_pairwise_bind_bundle_decode(
+                    handle, x_sub, y_sub, vis_dir,
+                    img_shape=(28, 28, 1),
+                    class_names=[str(i) for i in range(10)], key=ekey)
+                test_cross_class_bind_unbind(
+                    handle, x_sub, y_sub, vis_dir, img_shape=(28, 28, 1),
+                    class_a=6, class_b=9, key=ekey)
+
+                plot_reconstructions(
+                    handle, x_test, os.path.join(vis_dir,
+                                                 "reconstructions.png"),
+                    key=ekey)
+                plot_interpolations(
+                    handle, x_test, y_test,
+                    os.path.join(vis_dir, "interpolations.png"), key=ekey)
+                plot_latent_space(
+                    handle, x_test, y_test, os.path.join(vis_dir, "tsne.png"),
+                    n_plot=min(1000, len(x_test)), key=ekey)
+
+                class_means = compute_class_means(
+                    handle, x_all[:5000], y_all[:5000], max_per_class=1000,
+                    key=ekey)
+                mean_vector_acc, _ = evaluate_mean_vector_cosine(
+                    handle, x_test, y_test, class_means, key=ekey)
+                print(f"  mean vector cosine acc: {mean_vector_acc:.4f}")
+                agg_mvc[dist].append(float(mean_vector_acc))
+
+                # per-trial dumps (reference :493-527)
+                dist_out = {"normal": "gaussian",
+                            "normal_nol2": "gaussian_nol2"}.get(dist, dist)
+                trial_dir = ensure_dir(
+                    f"results/mnist-{dist_out}-d{mdim}-l1-trial{run_i + 1}")
+                raw_vsa = {
+                    "bundle_cap": bundle_cap_raw,
+                    "role_filler": role_filler_raw,
+                    "self_binding_star": {
+                        "k_values": fourier_pseudo.get("k_values", []),
+                        "k_sims": fourier_pseudo.get("k_sims", []),
+                    },
+                    "self_binding_dagger": {
+                        "k_values": fourier_deconv.get("k_values", []),
+                        "k_sims": fourier_deconv.get("k_sims", []),
+                    },
+                }
+                with open(f"{trial_dir}/vsa_raw.json", "w") as f:
+                    json.dump(_jsonable(raw_vsa), f)
+                trial_metrics_out = {
+                    **{k: v for k, v in knn_results.items()
+                       if k.startswith("knn_")},
+                    "mean_vector_cosine_acc": float(mean_vector_acc),
+                    "test/ll": test_metrics["ll"],
+                    "test/entropy": test_metrics["entropy"],
+                    "test/recon": test_metrics["recon"],
+                    "test/kl": test_metrics["kl"],
+                    "final_val_loss": best_val_loss,
+                }
+                with open(f"{trial_dir}/metrics.json", "w") as f:
+                    json.dump(trial_metrics_out, f, indent=2)
+
+                if dist == "clifford" and mdim >= 2:
+                    plot_clifford_manifold_visualization(
+                        handle, vis_dir, n_grid=16, dims=(0, 1))
+                elif dist == "powerspherical" and mdim >= 2:
+                    plot_powerspherical_manifold_visualization(
+                        handle, vis_dir, n_samples=1000, dims=(0, 1),
+                        key=ekey)
+                elif dist == "normal" and mdim >= 2:
+                    plot_gaussian_manifold_visualization(
+                        handle, vis_dir, n_samples=1000, dims=(0, 1),
+                        key=ekey)
+
+                if logger.use:
+                    logger.log_summary({
+                        **{k: v for k, v in knn_results.items()
+                           if k.startswith("knn_")},
+                        "final_val_loss": best_val_loss,
+                        "mean_vector_cosine_acc": float(mean_vector_acc),
+                        "test/ll": test_metrics["ll"],
+                        "test/entropy": test_metrics["entropy"],
+                        "test/recon": test_metrics["recon"],
+                        "test/kl": test_metrics["kl"],
+                    })
+                    logger.finish_run()
+
+                eval_time = time.time() - eval_start_time
+                run_time = time.time() - run_start_time
+                timing_results[f"{dist}_d{mdim}_run{run_i + 1}"] = {
+                    "train_time_s": train_time,
+                    "eval_time_s": eval_time,
+                    "total_run_time_s": run_time,
+                }
+                print(f"eval time: {eval_time:.2f}s, "
+                      f"total run time: {run_time:.2f}s")
+
+        # unified mean±std row per dim (reference :659-684)
+        row = {"d": mdim}
+        for dist in DISTRIBUTIONS:
+            D = dist.upper()
+            for s in KNN_SAMPLES:
+                accs, f1s = agg_results[dist][s], agg_f1[dist][s]
+                row[f"{D}_acc_{s}"] = (
+                    f"{np.mean(accs) * 100:.1f}±{np.std(accs) * 100:.1f}"
+                    if accs else "N/A")
+                row[f"{D}_f1_{s}"] = (
+                    f"{np.mean(f1s) * 100:.1f}±{np.std(f1s) * 100:.1f}"
+                    if f1s else "N/A")
+            mvc = agg_mvc[dist]
+            row[f"{D}_mvc"] = (
+                f"{np.mean(mvc) * 100:.1f}±{np.std(mvc) * 100:.1f}"
+                if mvc else "N/A")
+            for metric in ["ll", "entropy", "recon", "kl"]:
+                vals = agg_metrics[dist][metric]
+                row[f"{D}_{metric}"] = (
+                    f"{np.mean(vals):.2f}±{np.std(vals):.2f}"
+                    if vals else "N/A")
+        final_results.append(row)
+
+    if final_results:
+        import pandas as pd
+
+        df = pd.DataFrame(final_results).set_index("d")
+        print("\n" + "=" * 25 + " all metrics " + "=" * 25)
+        print(df.to_string())
+        df.to_csv("mnist_vae_results.csv")
+    else:
+        print("no results were generated.")
+
+    timing_results["total_script_time_s"] = time.time() - script_start_time
+    with open("mnist_clifpws_timing.json", "w") as f:
+        json.dump(timing_results, f, indent=2)
+    print(f"\ntotal script execution time: "
+          f"{timing_results['total_script_time_s']:.2f}s")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Run VAE experiments on MNIST, contrasting "
+                    "clifford/gaussian/powerspherical")
+    parser.add_argument("--d_dims", type=int, nargs="+",
+                        default=[2, 5, 10, 20, 40, 128, 256])
+    parser.add_argument("--h_dim", type=int, default=128)
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--patience", type=int, default=50)
+    parser.add_argument("--warmup_epochs", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--n_runs", type=int, default=20)
+    parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--wandb_project", type=str,
+                        default="mnist-svae-experiments")
+    # extensions over the reference CLI (defaults preserve its behavior)
+    parser.add_argument("--outdir", type=str, default=".")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--limit_train", type=int, default=None,
+                        help="cap train set size (smoke tests)")
+    parser.add_argument("--limit_test", type=int, default=None)
+    parser.add_argument("--vsa_trials", type=int, default=20)
+    return parser
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())
