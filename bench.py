@@ -28,6 +28,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
+_PROFILE_DIR = None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,10 +63,16 @@ def measure_jax(dtype: str = "bfloat16") -> float:
     log(f"compile+warmup: {time.time() - t0:.1f}s, "
         f"loss {float(losses['total_loss']):.3f}")
 
+    import contextlib
+
+    prof = (jax.profiler.trace(_PROFILE_DIR) if _PROFILE_DIR
+            else contextlib.nullcontext())
     t0 = time.time()
-    for i in range(MEASURE_STEPS):
-        state, losses = step(state, x, jax.random.fold_in(key, 100 + i), beta)
-    jax.block_until_ready(losses["total_loss"])
+    with prof:
+        for i in range(MEASURE_STEPS):
+            state, losses = step(state, x,
+                                 jax.random.fold_in(key, 100 + i), beta)
+        jax.block_until_ready(losses["total_loss"])
     dt = time.time() - t0
     sps = MEASURE_STEPS / dt
     log(f"jax: {MEASURE_STEPS} steps in {dt:.2f}s -> {sps:.3f} steps/s")
@@ -132,7 +139,12 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the measured steps")
     args = ap.parse_args()
+    if args.profile:
+        global _PROFILE_DIR
+        _PROFILE_DIR = args.profile
 
     jax_sps = measure_jax(args.dtype)
     if args.skip_baseline:
