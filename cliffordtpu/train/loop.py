@@ -171,3 +171,77 @@ def fit(
     state = state.replace(params=best_params)
     history["best_val"] = best_val
     return state, history
+
+
+def make_mlp_epoch_step(model, binarize: bool = True):
+    """One jitted program per EPOCH: lax.scan over the minibatch axis.
+
+    TPU-first alternative to the per-step Python loop: on a slow host the
+    per-step dispatch dominates (measured ~20 ms/step vs ~2 ms device time
+    on v5e), so scanning the whole epoch recovers device-bound throughput.
+    ``batches``: (S, B, ...) stacked minibatches.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_step(state, batches, key, beta):
+        def body(state, inp):
+            i, xb = inp
+            skey = jax.random.fold_in(key, i)
+            k_bin, k_sample = jax.random.split(skey)
+            if binarize:
+                xb = binarize_with_random_threshold(k_bin, xb)
+
+            def loss_fn(params):
+                outputs = model.apply(
+                    {"params": params}, xb, rngs={"sample": k_sample}
+                )
+                losses = vae_loss_from_outputs(xb, outputs, beta)
+                return losses["total"], losses["total"]
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        S = batches.shape[0]
+        state, losses = jax.lax.scan(
+            body, state, (jnp.arange(S), batches))
+        return state, losses
+
+    return epoch_step
+
+
+def make_cnn_epoch_step(model):
+    """Epoch-scanned train program for the CNN/ViT families."""
+    from cliffordtpu.nn.conv_vae import cnn_vae_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_step(state, batches, key, beta):
+        def body(state, inp):
+            i, xb = inp
+            skey = jax.random.fold_in(key, i)
+
+            def loss_fn(params):
+                x_recon, q_z, p_z, _ = model.apply(
+                    {"params": params}, xb, rngs={"sample": skey}
+                )
+                sigmas = (None, None)
+                if model.use_learnable_beta:
+                    sigmas = (
+                        jnp.exp(params["log_sigma_0"]),
+                        jnp.exp(params["log_sigma_1"]),
+                    )
+                losses = cnn_vae_loss(
+                    xb, x_recon, q_z, p_z, model.distribution, beta=beta,
+                    recon_loss_type=model.recon_loss_type,
+                    l1_weight=model.l1_weight, sigmas=sigmas,
+                )
+                return losses["total_loss"], losses["total_loss"]
+
+            grads, loss = jax.grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        S = batches.shape[0]
+        state, losses = jax.lax.scan(
+            body, state, (jnp.arange(S), batches))
+        return state, losses
+
+    return epoch_step
