@@ -145,7 +145,10 @@ def _synth_color(n: int, cls: np.ndarray, rng: np.random.Generator,
 def _synthesize(name: str, n_train: int, n_test: int) -> Dict[str, np.ndarray]:
     spec = _SPECS[name]
     h, w, c = spec["shape"] if name != "mnist" else (28, 28, 1)
-    rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    import zlib
+
+    # stable across processes (python's str hash is randomized per process)
+    rng = np.random.default_rng(zlib.crc32(name.encode()) % (2**31))
     out = {}
     for split, n in [("train", n_train), ("test", n_test)]:
         cls = rng.integers(0, spec["n_classes"], n)

@@ -144,6 +144,7 @@ def _gn(ch):
 
 class ResDownBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -151,14 +152,15 @@ class ResDownBlock(nn.Module):
         h = _gn(in_ch)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=_XAVIER)(h)
+                    use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
         h = _gn(self.out_ch)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=_XAVIER)(h)
+                    use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
         short = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
-                        use_bias=False, kernel_init=_XAVIER)(x)
-        return short + h
+                        use_bias=False, kernel_init=_XAVIER,
+                        dtype=self.dtype)(x)
+        return (short + h).astype(jnp.float32)
 
 
 class ResUpBlock(nn.Module):
@@ -166,6 +168,7 @@ class ResUpBlock(nn.Module):
     (``cliffordar_model.py:165-195``)."""
 
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -173,24 +176,25 @@ class ResUpBlock(nn.Module):
         h = _gn(in_ch)(x)
         h = nn.silu(h)
         h = nn.ConvTranspose(self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
-                             use_bias=False, kernel_init=_XAVIER)(h)
-        h = _gn(self.out_ch)(h)
+                             use_bias=False, kernel_init=_XAVIER,
+                             dtype=self.dtype)(h)
+        h = _gn(self.out_ch)(h.astype(jnp.float32))
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=_XAVIER)(h)
+                    use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
         short = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
                                  padding="VALID", use_bias=False,
-                                 kernel_init=_XAVIER)(x)
-        x = short + h
+                                 kernel_init=_XAVIER, dtype=self.dtype)(x)
+        x = (short + h).astype(jnp.float32)
         h2 = _gn(self.out_ch)(x)
         h2 = nn.silu(h2)
         h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                     use_bias=False, kernel_init=_XAVIER)(h2)
-        h2 = _gn(self.out_ch)(h2)
+                     use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h2)
+        h2 = _gn(self.out_ch)(h2.astype(jnp.float32))
         h2 = nn.silu(h2)
         h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                     use_bias=False, kernel_init=_XAVIER)(h2)
-        return x + h2
+                     use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h2)
+        return x + h2.astype(jnp.float32)
 
 
 # ---- encoder / decoder (``cliffordar_model.py:212-316``) ----
@@ -209,9 +213,11 @@ class ViTEncoder(nn.Module):
     @nn.compact
     def __call__(self, image):
         x = nn.Conv(self.cnn_chs[0], (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, kernel_init=_XAVIER)(image)
+                    use_bias=False, kernel_init=_XAVIER,
+                    dtype=self.dtype)(image)
+        x = x.astype(jnp.float32)
         for ch in self.cnn_chs[1:]:
-            x = ResDownBlock(ch)(x)
+            x = ResDownBlock(ch, dtype=self.dtype)(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
 
@@ -277,7 +283,7 @@ class ViTDecoder(nn.Module):
         x = x[:, self.register_tokens:, :]
         x = x.reshape(B, g, g, self.d_model)
         for ch in self.cnn_chs[1:]:
-            x = ResUpBlock(ch)(x)
+            x = ResUpBlock(ch, dtype=self.dtype)(x)
         x = _gn(x.shape[-1])(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),

@@ -1,0 +1,72 @@
+"""Dataset loader tests: synthetic fallback, transforms, batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cliffordtpu.data import (
+    binarize_with_random_threshold,
+    iterate_batches,
+    load_dataset,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_mnist_shapes_and_range():
+    ds = load_dataset("mnist", n_train=64, n_test=32)
+    assert ds["x_train"].shape == (64, 28, 28, 1)
+    assert ds["x_test"].shape == (32, 28, 28, 1)
+    assert 0.0 <= ds["x_train"].min() and ds["x_train"].max() <= 1.0
+    assert set(np.unique(ds["y_train"])) <= set(range(10))
+
+
+def test_fashion_and_cifar_pm1():
+    for name, ch in [("fashionmnist", 1), ("cifar10", 3)]:
+        ds = load_dataset(name, n_train=16, n_test=8)
+        assert ds["x_train"].shape == (16, 32, 32, ch)
+        assert ds["x_train"].min() >= -1.0 - 1e-6
+        assert ds["x_train"].max() <= 1.0 + 1e-6
+
+
+def test_synthetic_deterministic():
+    a = load_dataset("mnist", n_train=32, n_test=8)
+    b = load_dataset("mnist", n_train=32, n_test=8)
+    np.testing.assert_array_equal(a["x_train"], b["x_train"])
+    np.testing.assert_array_equal(a["y_train"], b["y_train"])
+
+
+def test_synthetic_classes_distinguishable():
+    """The glyph fallback must be class-separable enough for eval sanity:
+    nearest-centroid in pixel space beats chance comfortably."""
+    ds = load_dataset("mnist", n_train=400, n_test=100)
+    x = ds["x_train"].reshape(400, -1)
+    y = ds["y_train"]
+    cents = np.stack([x[y == c].mean(0) for c in range(10)])
+    xt = ds["x_test"].reshape(100, -1)
+    preds = np.argmin(
+        ((xt[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    assert (preds == ds["y_test"]).mean() > 0.3
+
+
+def test_binarize():
+    x = jnp.full((4, 10), 0.5)
+    b = binarize_with_random_threshold(KEY, x)
+    assert set(np.unique(np.asarray(b))) <= {0.0, 1.0}
+    # extreme values are deterministic
+    np.testing.assert_array_equal(
+        np.asarray(binarize_with_random_threshold(KEY, jnp.ones((3, 3)))),
+        np.ones((3, 3)))
+
+
+def test_iterate_batches():
+    x = np.arange(10)[:, None].astype(np.float32)
+    y = np.arange(10)
+    batches = list(iterate_batches(x, y, 4))
+    assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+    batches = list(iterate_batches(x, y, 4, drop_remainder=True))
+    assert [b[0].shape[0] for b in batches] == [4, 4]
+    # keyed shuffle covers all elements exactly once
+    xs = np.concatenate(
+        [b[0] for b in iterate_batches(x, y, 3, key=KEY)]).ravel()
+    assert sorted(xs.tolist()) == list(range(10))
