@@ -120,7 +120,8 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
     n = len(x_train)
     steps = max(1, n // args.batch_size)
     best = float("inf")
-    best_params = state.params
+    best_params = jax.tree_util.tree_map(lambda a: a.copy(),
+                                         state.params)
     patience_counter = 0
     for epoch in range(args.epochs):
         beta = (1.0 if args.use_learnable_beta else cyclical_kl_beta(
@@ -157,7 +158,9 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
         val = te["recon"] + te["kld"]
         if np.isfinite(val) and val < best:
             best = val
-            best_params = jax.tree_util.tree_map(lambda a: a, state.params)
+            # deep copy — the donated train_step invalidates these buffers
+            best_params = jax.tree_util.tree_map(
+                lambda a: a.copy(), state.params)
             patience_counter = 0
         else:
             patience_counter += 1

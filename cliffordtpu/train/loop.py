@@ -127,7 +127,8 @@ def fit(
     n = x_train.shape[0]
     steps = max(1, n // batch_size)
     best_val = float("inf")
-    best_params = state.params
+    best_params = jax.tree_util.tree_map(lambda a: a.copy(),
+                                         state.params)
     patience_counter = 0
     history = {"train_loss": [], "val_loss": []}
 
@@ -161,7 +162,10 @@ def fit(
 
         if np.isfinite(val_loss) and val_loss < best_val:
             best_val = val_loss
-            best_params = jax.tree_util.tree_map(lambda a: a, state.params)
+            # deep copy: the next train_step DONATES state.params buffers
+            # (no-op on CPU, buffer-invalidating on TPU)
+            best_params = jax.tree_util.tree_map(
+                lambda a: a.copy(), state.params)
             patience_counter = 0
         else:
             patience_counter += 1

@@ -103,3 +103,15 @@ def test_graft_entry_compiles():
     compiled = lowered.compile()
     loss = float(compiled(*args))
     assert np.isfinite(loss)
+
+
+def test_make_global_batch_single_process():
+    from cliffordtpu.parallel.data import make_global_batch
+
+    mesh = create_mesh((8, 1))
+    x = np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)
+    arr = make_global_batch(mesh, x)
+    assert arr.shape == (16, 4)
+    # sharded over the data axis: each device holds 2 rows
+    assert len(arr.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(arr), x)
