@@ -25,6 +25,46 @@ from jax.scipy.special import digamma, gammaln
 _EPS = 1e-7
 
 
+def t_transform(t, v):
+    """(t, v) -> (t, v * sqrt(1 - t^2)): the T-transform mapping the joint
+    (marginal-t, tangent) sample onto S^(d-1) (``dists/clifford.py:40-48``).
+    t: (..., 1), v: (..., d-1)."""
+    return jnp.concatenate(
+        [t, v * jnp.sqrt(jnp.clip(1.0 - t**2, min=_EPS))], axis=-1)
+
+
+def marginal_t_sample(key, dim: int, scale, shape=()):
+    """Sample t = 2*Beta((d-1)/2 + scale + eps, (d-1)/2) - 1 — the marginal
+    of <loc, x> under PowerSpherical (``dists/clifford.py:124-137``)."""
+    alpha = (dim - 1) / 2.0 + scale + _EPS
+    beta = (dim - 1) / 2.0
+    b = jax.random.beta(key, alpha, beta, shape=tuple(shape))
+    return 2.0 * b - 1.0
+
+
+def marginal_t_entropy(dim: int, scale):
+    """H[marginal t] = H[Beta] + log 2 (``dists/clifford.py:136-137``)."""
+    from jax.scipy.special import digamma, gammaln
+
+    a = (dim - 1) / 2.0 + scale + _EPS
+    b = jnp.asarray((dim - 1) / 2.0)
+    # Beta entropy: ln B(a,b) - (a-1)psi(a) - (b-1)psi(b) + (a+b-2)psi(a+b)
+    ln_beta = gammaln(a) + gammaln(b) - gammaln(a + b)
+    h_beta = (ln_beta - (a - 1) * digamma(a) - (b - 1) * digamma(b)
+              + (a + b - 2) * digamma(a + b))
+    return h_beta + math.log(2.0)
+
+
+def joint_ts_sample(key, dim: int, scale, shape=()):
+    """Concatenate a marginal-t draw with a uniform S^(d-2) tangent draw
+    (``dists/clifford.py:140-159``)."""
+    k_t, k_v = jax.random.split(key)
+    t = marginal_t_sample(k_t, dim, scale, shape)[..., None]
+    v = jax.random.normal(k_v, tuple(shape) + (dim - 1,))
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _EPS)
+    return jnp.concatenate([t, v], axis=-1)
+
+
 def householder_reflect(x, loc):
     """Reflect x by the Householder map sending e1 -> loc.
 

@@ -44,6 +44,7 @@ from cliffordtpu.eval.tables import (
     plot_cross_dist_comparison_dim,
 )
 from cliffordtpu.nn import CNNVAE, CliffordARVAE, HybridVAE
+from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.checkpoint import delete_checkpoint, save_checkpoint
 from cliffordtpu.train.loop import make_cnn_eval_step, make_cnn_train_step
 from cliffordtpu.train.schedules import cyclical_kl_beta
@@ -278,77 +279,104 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     x_test, y_test, ekey, limit=n_mem, batch=args.batch_size)
 
                 print(f"running 1-item-per-class test ({dist_name})...")
-                test_per_class_bundle_capacity_k_items(
-                    d=latent_dim, n_items=n_mem, n_classes=10,
-                    items_per_class=1, n_trials=1, plot=False,
-                    save_dir=output_dir, item_memory=item_memory,
-                    labels=jnp.asarray(item_labels),
-                    item_images=x_test[:n_mem], class_names=class_names,
-                    key=ekey)
+                safe_eval(
+                    "per_class_bundle",
+                    lambda: test_per_class_bundle_capacity_k_items(
+                        d=latent_dim, n_items=n_mem, n_classes=10,
+                        items_per_class=1, n_trials=1, plot=False,
+                        save_dir=output_dir, item_memory=item_memory,
+                        labels=jnp.asarray(item_labels),
+                        item_images=x_test[:n_mem], class_names=class_names,
+                        key=ekey))
 
                 print(f"running bundle capacity test ({dist_name})...")
-                bundle_cap_raw = vsa_bundle_capacity(
-                    d=item_memory.shape[-1], n_items=n_mem,
-                    k_range=BC_K_RANGE, n_trials=args.vsa_trials, plot=False,
-                    save_dir=output_dir, item_memory=item_memory,
-                    baseline_d=latent_dim, key=ekey)
+                bundle_cap_raw = safe_eval(
+                    "bundle_capacity",
+                    lambda: vsa_bundle_capacity(
+                        d=item_memory.shape[-1], n_items=n_mem,
+                        k_range=BC_K_RANGE, n_trials=args.vsa_trials,
+                        plot=False, save_dir=output_dir,
+                        item_memory=item_memory, baseline_d=latent_dim,
+                        key=ekey),
+                    default=dict(EMPTY_CURVE))
 
                 print(f"running role-filler unbinding test ({dist_name})...")
-                role_filler_raw = vsa_binding_unbinding(
-                    d=item_memory.shape[-1], n_items=n_mem,
-                    k_range=RF_K_RANGE, n_trials=args.vsa_trials, plot=False,
-                    unbind_method="*", save_dir=output_dir,
-                    item_memory=item_memory, bind_with_random=True,
-                    baseline_d=latent_dim, key=ekey)
+                role_filler_raw = safe_eval(
+                    "role_filler",
+                    lambda: vsa_binding_unbinding(
+                        d=item_memory.shape[-1], n_items=n_mem,
+                        k_range=RF_K_RANGE, n_trials=args.vsa_trials,
+                        plot=False, unbind_method="*", save_dir=output_dir,
+                        item_memory=item_memory, bind_with_random=True,
+                        baseline_d=latent_dim, key=ekey),
+                    default=dict(EMPTY_CURVE))
                 rf_results = {"role_filler_capacity": role_filler_raw}
 
                 print(f"running self-binding test ({dist_name})...")
-                fourier_star = test_self_binding(
-                    handle, x_test[:500], y_test[:500], output_dir,
-                    unbind_method="*", img_shape=IMG_SHAPE, key=ekey)
+                fourier_star = safe_eval(
+                    "self_binding(*)",
+                    lambda: test_self_binding(
+                        handle, x_test[:500], y_test[:500], output_dir,
+                        unbind_method="*", img_shape=IMG_SHAPE, key=ekey),
+                    default=dict(EMPTY_BINDING))
                 deconv_dir = ensure_dir(f"{output_dir}/deconv")
-                fourier_perp = test_self_binding(
-                    handle, x_test[:500], y_test[:500], deconv_dir,
-                    unbind_method="†", img_shape=IMG_SHAPE, key=ekey)
+                fourier_perp = safe_eval(
+                    "self_binding(†)",
+                    lambda: test_self_binding(
+                        handle, x_test[:500], y_test[:500], deconv_dir,
+                        unbind_method="†", img_shape=IMG_SHAPE, key=ekey),
+                    default=dict(EMPTY_BINDING))
 
-                plot_reconstructions(
+                safe_eval("reconstructions", lambda: plot_reconstructions(
                     handle, x_test, f"{output_dir}/reconstructions.png",
-                    img_shape=IMG_SHAPE, key=ekey)
+                    img_shape=IMG_SHAPE, key=ekey))
                 if trial == 0:
-                    plot_latent_space(
+                    safe_eval("tsne", lambda: plot_latent_space(
                         handle, x_test, y_test, f"{output_dir}/tsne.png",
-                        n_plot=min(2000, len(x_test)), key=ekey)
+                        n_plot=min(2000, len(x_test)), key=ekey))
                 if full_eval:
-                    plot_decoded_bundles(
-                        handle, x_test, y_test,
-                        f"{output_dir}/decoded_bundles.png",
-                        class_names=class_names, n_samples=min(500,
-                                                               len(x_test)),
-                        key=ekey)
-                    plot_latent_interpolations(
-                        handle, fixed_interp_pairs, output_dir, n_steps=10,
-                        img_shape=IMG_SHAPE, key=ekey)
+                    safe_eval("decoded_bundles",
+                              lambda: plot_decoded_bundles(
+                                  handle, x_test, y_test,
+                                  f"{output_dir}/decoded_bundles.png",
+                                  class_names=class_names,
+                                  n_samples=min(500, len(x_test)), key=ekey))
+                    safe_eval("latent_interpolations",
+                              lambda: plot_latent_interpolations(
+                                  handle, fixed_interp_pairs, output_dir,
+                                  n_steps=10, img_shape=IMG_SHAPE, key=ekey))
 
                 print("running knn evaluation...")
-                knn_metrics = perform_knn_evaluation(
-                    handle, x_train, y_train, x_test, y_test,
-                    [s for s in (100, 600, 1000) if s <= len(x_train)],
-                    key=ekey)
+                knn_metrics = safe_eval(
+                    "knn_evaluation",
+                    lambda: perform_knn_evaluation(
+                        handle, x_train, y_train, x_test, y_test,
+                        [s for s in (100, 600, 1000) if s <= len(x_train)],
+                        key=ekey),
+                    default={})
 
-                class_means = compute_class_means(
-                    handle, x_train[:5000], y_train[:5000],
-                    max_per_class=1000, batch=args.batch_size, key=ekey)
-                mean_vector_acc, _ = evaluate_mean_vector_cosine(
-                    handle, x_test, y_test, class_means,
-                    batch=args.batch_size, key=ekey)
+                mean_vector_acc = safe_eval(
+                    "mean_vector_cosine",
+                    lambda: evaluate_mean_vector_cosine(
+                        handle, x_test, y_test,
+                        compute_class_means(
+                            handle, x_train[:5000], y_train[:5000],
+                            max_per_class=1000, batch=args.batch_size,
+                            key=ekey),
+                        batch=args.batch_size, key=ekey)[0],
+                    default=0.0)
                 print("mean_vector_cosine_acc: ", mean_vector_acc)
 
                 model_latent = handle.latent_dim
-                fid_res = compute_fid(
-                    handle, x_test, model.distribution, model_latent,
-                    in_channels=in_channels,
-                    n_samples=min(args.fid_samples, len(x_test)),
-                    batch_size=256, key=ekey)
+                fid_res = safe_eval(
+                    "generation_fid",
+                    lambda: compute_fid(
+                        handle, x_test, model.distribution, model_latent,
+                        in_channels=in_channels,
+                        n_samples=min(args.fid_samples, len(x_test)),
+                        batch_size=256, key=ekey),
+                    default={"fid": float("nan"),
+                             "fid_features": "failed"})
                 gen_fid = fid_res["fid"]
                 print(f"generation FID: {gen_fid:.2f} "
                       f"({fid_res['fid_features']})")
@@ -356,18 +384,23 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 if trial == 0:
                     print("running cross-class bind/unbind test...")
                     if dataset_name == "fashionmnist":
-                        test_cross_class_bind_unbind(
-                            handle, x_test[:500], y_test[:500], output_dir,
-                            img_shape=IMG_SHAPE, class_a=5, class_b=6,
-                            key=ekey)
+                        safe_eval("cross_class",
+                                  lambda: test_cross_class_bind_unbind(
+                                      handle, x_test[:500], y_test[:500],
+                                      output_dir, img_shape=IMG_SHAPE,
+                                      class_a=5, class_b=6, key=ekey))
                     else:
                         rng = np.random.RandomState(trial_num)
                         for _ in range(2):
                             a, b = rng.choice(10, 2, replace=False)
-                            test_cross_class_bind_unbind(
-                                handle, x_test[:500], y_test[:500],
-                                output_dir, img_shape=IMG_SHAPE,
-                                class_a=int(a), class_b=int(b), key=ekey)
+                            safe_eval("cross_class",
+                                      lambda a=a, b=b:
+                                      test_cross_class_bind_unbind(
+                                          handle, x_test[:500],
+                                          y_test[:500], output_dir,
+                                          img_shape=IMG_SHAPE,
+                                          class_a=int(a), class_b=int(b),
+                                          key=ekey))
 
                 excluded_metrics = {}
                 if x_excl is not None and len(x_excl):

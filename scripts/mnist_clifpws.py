@@ -52,6 +52,7 @@ from cliffordtpu.eval.plots import (
 )
 from cliffordtpu.nn import MLPVAE
 from cliffordtpu.nn.losses import compute_test_metrics
+from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
@@ -161,9 +162,13 @@ def run(args):
                 handle = ModelHandle(model, state.params)
                 ekey = jax.random.fold_in(run_key, 2)
 
-                test_metrics = compute_test_metrics(
-                    ekey, model, state.params,
-                    _batches(x_test, y_test, 512))
+                test_metrics = safe_eval(
+                    "compute_test_metrics",
+                    lambda: compute_test_metrics(
+                        ekey, model, state.params,
+                        _batches(x_test, y_test, 512)),
+                    default={"ll": float("nan"), "entropy": float("nan"),
+                             "recon": float("nan"), "kl": float("nan")})
                 for mname in ["ll", "entropy", "recon", "kl"]:
                     agg_metrics[dist][mname].append(test_metrics[mname])
                 print(f"  LL: {test_metrics['ll']:.2f}, "
@@ -171,9 +176,13 @@ def run(args):
                       f"RE: {test_metrics['recon']:.2f}, "
                       f"KL: {test_metrics['kl']:.2f}")
 
-                knn_results = perform_knn_evaluation(
-                    handle, x_train, y_train, x_test, y_test,
-                    [s for s in KNN_SAMPLES if s <= len(x_train)], key=ekey)
+                knn_results = safe_eval(
+                    "knn_evaluation",
+                    lambda: perform_knn_evaluation(
+                        handle, x_train, y_train, x_test, y_test,
+                        [s for s in KNN_SAMPLES if s <= len(x_train)],
+                        key=ekey),
+                    default={})
                 for s in KNN_SAMPLES:
                     if f"knn_acc_{s}" in knn_results:
                         agg_results[dist][s].append(knn_results[f"knn_acc_{s}"])
@@ -183,12 +192,18 @@ def run(args):
                 deconv_dir = ensure_dir(f"{vis_dir}/deconv")
                 x_sub, y_sub = x_test[:1000], y_test[:1000]
 
-                fourier_pseudo = test_self_binding(
-                    handle, x_sub, y_sub, vis_dir, unbind_method="*",
-                    key=ekey)
-                fourier_deconv = test_self_binding(
-                    handle, x_sub, y_sub, deconv_dir, unbind_method="†",
-                    key=ekey)
+                fourier_pseudo = safe_eval(
+                    "self_binding(*)",
+                    lambda: test_self_binding(
+                        handle, x_sub, y_sub, vis_dir, unbind_method="*",
+                        key=ekey),
+                    default=dict(EMPTY_BINDING))
+                fourier_deconv = safe_eval(
+                    "self_binding(†)",
+                    lambda: test_self_binding(
+                        handle, x_sub, y_sub, deconv_dir, unbind_method="†",
+                        key=ekey),
+                    default=dict(EMPTY_BINDING))
 
                 # item memory of posterior means (reference :364-376)
                 n_mem = min(500, len(x_test))
@@ -197,20 +212,23 @@ def run(args):
                 item_images = ds["x_test"][:n_mem]
 
                 print(f"running 1-item-per-class test ({dist})...")
-                test_per_class_bundle_capacity_k_items(
+                safe_eval("per_class_bundle", lambda: test_per_class_bundle_capacity_k_items(
                     d=item_memory.shape[-1], n_items=n_mem, n_classes=10,
                     items_per_class=1, n_trials=2, plot=True,
                     save_dir=vis_dir, item_memory=item_memory,
                     labels=jnp.asarray(item_labels),
                     item_images=item_images * 2 - 1,
-                    class_names=[str(i) for i in range(10)], key=ekey)
+                    class_names=[str(i) for i in range(10)], key=ekey))
 
                 print(f"running bundle capacity ({dist})...")
-                bundle_cap_raw = vsa_bundle_capacity(
-                    d=item_memory.shape[-1], n_items=n_mem,
-                    k_range=list(range(5, 51, 5)), n_trials=args.vsa_trials,
-                    plot=True, save_dir=vis_dir, item_memory=item_memory,
-                    key=ekey)
+                bundle_cap_raw = safe_eval(
+                    "bundle_capacity",
+                    lambda: vsa_bundle_capacity(
+                        d=item_memory.shape[-1], n_items=n_mem,
+                        k_range=list(range(5, 51, 5)),
+                        n_trials=args.vsa_trials, plot=True,
+                        save_dir=vis_dir, item_memory=item_memory, key=ekey),
+                    default=dict(EMPTY_CURVE))
 
                 print(f"running role-filler unbinding ({dist})...")
                 rf_results = {}
@@ -219,13 +237,16 @@ def run(args):
                     ("†", "role_filler_no_random_keys_deconv"),
                 ]:
                     save_d = deconv_dir if ubmethod == "†" else vis_dir
-                    rf_res = vsa_binding_unbinding(
-                        d=item_memory.shape[-1], n_items=n_mem,
-                        k_range=list(range(2, 21, 2)),
-                        n_trials=args.vsa_trials, plot=True,
-                        unbind_method=ubmethod, save_dir=save_d,
-                        item_memory=item_memory, bind_with_random=False,
-                        key=ekey)
+                    rf_res = safe_eval(
+                        f"role_filler({ubmethod})",
+                        lambda ub=ubmethod, sd=save_d: vsa_binding_unbinding(
+                            d=item_memory.shape[-1], n_items=n_mem,
+                            k_range=list(range(2, 21, 2)),
+                            n_trials=args.vsa_trials, plot=True,
+                            unbind_method=ub, save_dir=sd,
+                            item_memory=item_memory, bind_with_random=False,
+                            key=ekey),
+                        default=dict(EMPTY_CURVE))
                     rf_results[rf_name] = rf_res
                     default_plot = os.path.join(save_d,
                                                 "role_filler_capacity.png")
@@ -235,30 +256,38 @@ def run(args):
                 role_filler_raw = rf_results.get(
                     "role_filler_no_random_keys", {})
 
-                test_pairwise_bind_bundle_decode(
-                    handle, x_sub, y_sub, vis_dir,
-                    img_shape=(28, 28, 1),
-                    class_names=[str(i) for i in range(10)], key=ekey)
-                test_cross_class_bind_unbind(
-                    handle, x_sub, y_sub, vis_dir, img_shape=(28, 28, 1),
-                    class_a=6, class_b=9, key=ekey)
+                safe_eval("pairwise_bind_bundle",
+                          lambda: test_pairwise_bind_bundle_decode(
+                              handle, x_sub, y_sub, vis_dir,
+                              img_shape=(28, 28, 1),
+                              class_names=[str(i) for i in range(10)],
+                              key=ekey))
+                safe_eval("cross_class_bind_unbind",
+                          lambda: test_cross_class_bind_unbind(
+                              handle, x_sub, y_sub, vis_dir,
+                              img_shape=(28, 28, 1), class_a=6, class_b=9,
+                              key=ekey))
 
-                plot_reconstructions(
+                safe_eval("reconstructions", lambda: plot_reconstructions(
                     handle, x_test, os.path.join(vis_dir,
                                                  "reconstructions.png"),
-                    key=ekey)
-                plot_interpolations(
+                    key=ekey))
+                safe_eval("interpolations", lambda: plot_interpolations(
                     handle, x_test, y_test,
-                    os.path.join(vis_dir, "interpolations.png"), key=ekey)
-                plot_latent_space(
+                    os.path.join(vis_dir, "interpolations.png"), key=ekey))
+                safe_eval("tsne", lambda: plot_latent_space(
                     handle, x_test, y_test, os.path.join(vis_dir, "tsne.png"),
-                    n_plot=min(1000, len(x_test)), key=ekey)
+                    n_plot=min(1000, len(x_test)), key=ekey))
 
-                class_means = compute_class_means(
-                    handle, x_all[:5000], y_all[:5000], max_per_class=1000,
-                    key=ekey)
-                mean_vector_acc, _ = evaluate_mean_vector_cosine(
-                    handle, x_test, y_test, class_means, key=ekey)
+                mean_vector_acc = safe_eval(
+                    "mean_vector_cosine",
+                    lambda: evaluate_mean_vector_cosine(
+                        handle, x_test, y_test,
+                        compute_class_means(
+                            handle, x_all[:5000], y_all[:5000],
+                            max_per_class=1000, key=ekey),
+                        key=ekey)[0],
+                    default=0.0)
                 print(f"  mean vector cosine acc: {mean_vector_acc:.4f}")
                 agg_mvc[dist].append(float(mean_vector_acc))
 
@@ -295,16 +324,19 @@ def run(args):
                     json.dump(trial_metrics_out, f, indent=2)
 
                 if dist == "clifford" and mdim >= 2:
-                    plot_clifford_manifold_visualization(
-                        handle, vis_dir, n_grid=16, dims=(0, 1))
+                    safe_eval("clifford_manifold",
+                              lambda: plot_clifford_manifold_visualization(
+                                  handle, vis_dir, n_grid=16, dims=(0, 1)))
                 elif dist == "powerspherical" and mdim >= 2:
-                    plot_powerspherical_manifold_visualization(
-                        handle, vis_dir, n_samples=1000, dims=(0, 1),
-                        key=ekey)
+                    safe_eval("ps_manifold",
+                              lambda: plot_powerspherical_manifold_visualization(
+                                  handle, vis_dir, n_samples=1000,
+                                  dims=(0, 1), key=ekey))
                 elif dist == "normal" and mdim >= 2:
-                    plot_gaussian_manifold_visualization(
-                        handle, vis_dir, n_samples=1000, dims=(0, 1),
-                        key=ekey)
+                    safe_eval("gaussian_manifold",
+                              lambda: plot_gaussian_manifold_visualization(
+                                  handle, vis_dir, n_samples=1000,
+                                  dims=(0, 1), key=ekey))
 
                 if logger.use:
                     logger.log_summary({

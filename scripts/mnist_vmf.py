@@ -45,6 +45,7 @@ from cliffordtpu.eval.plots import (
 )
 from cliffordtpu.nn import MLPVAE
 from cliffordtpu.nn.losses import compute_test_metrics
+from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
@@ -132,8 +133,13 @@ def run(args):
             handle = ModelHandle(model, state.params)
             ekey = jax.random.fold_in(run_key, 2)
 
-            test_metrics = compute_test_metrics(
-                ekey, model, state.params, _batches(x_test, y_test, 1024))
+            test_metrics = safe_eval(
+                "compute_test_metrics",
+                lambda: compute_test_metrics(
+                    ekey, model, state.params,
+                    _batches(x_test, y_test, 1024)),
+                default={"ll": float("nan"), "entropy": float("nan"),
+                         "recon": float("nan"), "kl": float("nan")})
             for m in ["ll", "entropy", "recon", "kl"]:
                 agg_metrics[m].append(test_metrics[m])
             print(f"  LL={test_metrics['ll']:.2f}  "
@@ -141,9 +147,12 @@ def run(args):
                   f"RE={test_metrics['recon']:.2f}  "
                   f"KL={test_metrics['kl']:.2f}")
 
-            knn_results = perform_knn_evaluation(
-                handle, x_train, y_train, x_test, y_test,
-                [s for s in KNN_SAMPLES if s <= len(x_train)], key=ekey)
+            knn_results = safe_eval(
+                "knn_evaluation",
+                lambda: perform_knn_evaluation(
+                    handle, x_train, y_train, x_test, y_test,
+                    [s for s in KNN_SAMPLES if s <= len(x_train)], key=ekey),
+                default={})
             for n in KNN_SAMPLES:
                 if f"knn_acc_{n}" in knn_results:
                     agg_results[n].append(knn_results[f"knn_acc_{n}"])
@@ -154,21 +163,30 @@ def run(args):
                 deconv_dir = ensure_dir(f"{vis_dir}/deconv")
                 x_sub, y_sub = x_test[:500], y_test[:500]
 
-                self_bind = test_self_binding(
-                    handle, x_sub, y_sub, vis_dir, unbind_method="*",
-                    key=ekey)
-                self_bind_deconv = test_self_binding(
-                    handle, x_sub, y_sub, deconv_dir, unbind_method="†",
-                    key=ekey)
+                self_bind = safe_eval(
+                    "self_binding(*)",
+                    lambda: test_self_binding(
+                        handle, x_sub, y_sub, vis_dir, unbind_method="*",
+                        key=ekey),
+                    default=dict(EMPTY_BINDING))
+                self_bind_deconv = safe_eval(
+                    "self_binding(†)",
+                    lambda: test_self_binding(
+                        handle, x_sub, y_sub, deconv_dir, unbind_method="†",
+                        key=ekey),
+                    default=dict(EMPTY_BINDING))
 
                 n_mem = min(500, len(x_test))
                 item_memory = handle.latent_mu(x_test[:n_mem], ekey)
 
-                bundle_cap_raw = vsa_bundle_capacity(
-                    d=item_memory.shape[-1], n_items=n_mem,
-                    k_range=list(range(5, 51, 5)), n_trials=args.vsa_trials,
-                    plot=True, save_dir=vis_dir, item_memory=item_memory,
-                    key=ekey)
+                bundle_cap_raw = safe_eval(
+                    "bundle_capacity",
+                    lambda: vsa_bundle_capacity(
+                        d=item_memory.shape[-1], n_items=n_mem,
+                        k_range=list(range(5, 51, 5)),
+                        n_trials=args.vsa_trials, plot=True,
+                        save_dir=vis_dir, item_memory=item_memory, key=ekey),
+                    default=dict(EMPTY_CURVE))
 
                 rf_variants = [
                     (True, "*", vis_dir, "role_filler_capacity"),
@@ -179,13 +197,17 @@ def run(args):
                 ]
                 rf_results = {}
                 for bind_rand, ubmethod, save_d, rf_name in rf_variants:
-                    rf_res = vsa_binding_unbinding(
-                        d=item_memory.shape[-1], n_items=n_mem,
-                        k_range=list(range(2, 21, 2)),
-                        n_trials=args.vsa_trials, plot=True,
-                        unbind_method=ubmethod, save_dir=save_d,
-                        item_memory=item_memory, bind_with_random=bind_rand,
-                        key=ekey)
+                    rf_res = safe_eval(
+                        f"role_filler({rf_name})",
+                        lambda ub=ubmethod, sd=save_d, br=bind_rand:
+                            vsa_binding_unbinding(
+                                d=item_memory.shape[-1], n_items=n_mem,
+                                k_range=list(range(2, 21, 2)),
+                                n_trials=args.vsa_trials, plot=True,
+                                unbind_method=ub, save_dir=sd,
+                                item_memory=item_memory,
+                                bind_with_random=br, key=ekey),
+                        default=dict(EMPTY_CURVE))
                     rf_results[rf_name] = rf_res
                     default_plot = os.path.join(save_d,
                                                 "role_filler_capacity.png")
@@ -194,29 +216,38 @@ def run(args):
                         os.rename(default_plot,
                                   os.path.join(save_d, f"{rf_name}.png"))
 
-                test_pairwise_bind_bundle_decode(
-                    handle, x_sub, y_sub, vis_dir, img_shape=(28, 28, 1),
-                    class_names=[str(i) for i in range(10)], key=ekey)
-                test_cross_class_bind_unbind(
-                    handle, x_sub, y_sub, vis_dir, img_shape=(28, 28, 1),
-                    class_a=6, class_b=9, key=ekey)
+                safe_eval("pairwise_bind_bundle",
+                          lambda: test_pairwise_bind_bundle_decode(
+                              handle, x_sub, y_sub, vis_dir,
+                              img_shape=(28, 28, 1),
+                              class_names=[str(i) for i in range(10)],
+                              key=ekey))
+                safe_eval("cross_class_bind_unbind",
+                          lambda: test_cross_class_bind_unbind(
+                              handle, x_sub, y_sub, vis_dir,
+                              img_shape=(28, 28, 1), class_a=6, class_b=9,
+                              key=ekey))
 
-                plot_reconstructions(
+                safe_eval("reconstructions", lambda: plot_reconstructions(
                     handle, x_test,
-                    os.path.join(vis_dir, "reconstructions.png"), key=ekey)
-                plot_interpolations(
+                    os.path.join(vis_dir, "reconstructions.png"), key=ekey))
+                safe_eval("interpolations", lambda: plot_interpolations(
                     handle, x_test, y_test,
-                    os.path.join(vis_dir, "interpolations.png"), key=ekey)
-                plot_latent_space(
+                    os.path.join(vis_dir, "interpolations.png"), key=ekey))
+                safe_eval("tsne", lambda: plot_latent_space(
                     handle, x_test, y_test,
                     os.path.join(vis_dir, "tsne.png"),
-                    n_plot=min(1000, len(x_test)), key=ekey)
+                    n_plot=min(1000, len(x_test)), key=ekey))
 
-                class_means = compute_class_means(
-                    handle, x_train[:5000], y_train[:5000],
-                    max_per_class=1000, key=ekey)
-                mean_vector_acc, _ = evaluate_mean_vector_cosine(
-                    handle, x_test, y_test, class_means, key=ekey)
+                mean_vector_acc = safe_eval(
+                    "mean_vector_cosine",
+                    lambda: evaluate_mean_vector_cosine(
+                        handle, x_test, y_test,
+                        compute_class_means(
+                            handle, x_train[:5000], y_train[:5000],
+                            max_per_class=1000, key=ekey),
+                        key=ekey)[0],
+                    default=0.0)
                 print(f"  mean vector cosine acc: {mean_vector_acc:.4f}")
                 agg_mvc.append(float(mean_vector_acc))
 
