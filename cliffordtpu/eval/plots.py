@@ -284,56 +284,83 @@ def plot_prior_sample_grid(handle, output_dir, n_samples=64,
         f"Prior Samples ({handle.distribution.upper()})", (8, 8))
 
 
-def plot_latent_traversal(handle, x, output_dir, n_dims: int = 8,
-                          n_steps: int = 9, img_shape=(28, 28, 1),
-                          key=None):
-    """Per-dimension latent traversal (``wandb_utils.py:1137-1250``)."""
+def plot_latent_dimension_exploration(handle, x, output_dir,
+                                      n_dims_to_explore: int = 6,
+                                      n_steps: int = 9,
+                                      img_shape=(28, 28, 1), key=None):
+    """Per-dimension latent traversal (``wandb_utils.py:1137-1250``):
+    clifford varies angles in [-pi, pi], others in [-3, 3]; dims spread
+    evenly when latent_dim > 10; file ``{dist}_style_exploration.png``."""
+    latent_dim = handle.latent_dim
+    dist = handle.distribution
+    if latent_dim is None or latent_dim < 4:
+        return None
     key = key if key is not None else jax.random.PRNGKey(0)
     mu = handle.latent_mu(jnp.asarray(x[:1]), key)
-    d = mu.shape[-1]
-    dims = list(range(min(n_dims, d)))
-    dist = handle.distribution
-    rows = []
-    if dist == "clifford":
-        sweep = jnp.linspace(-math.pi, math.pi, n_steps)
+
+    dims_to_explore = min(n_dims_to_explore, latent_dim)
+    if latent_dim > 10:
+        dim_indices = [int(i * latent_dim / dims_to_explore)
+                       for i in range(dims_to_explore)]
     else:
-        sweep = jnp.linspace(-2.0, 2.0, n_steps)
-    for dim in dims:
-        z = jnp.repeat(mu, n_steps, axis=0)
-        z = z.at[:, dim].set(sweep)
+        dim_indices = list(range(dims_to_explore))
+    if dist == "clifford":
+        sweep = np.linspace(-math.pi, math.pi, n_steps)
+    else:
+        sweep = np.linspace(-3.0, 3.0, n_steps)
+
+    rows = []
+    for dim_idx in dim_indices:
+        z = jnp.repeat(mu[:, : latent_dim * (handle.num_tokens or 1)]
+                       if handle.num_tokens else mu, n_steps, axis=0)
+        z = z.at[:, dim_idx].set(jnp.asarray(sweep, z.dtype))
         if dist == "clifford":
-            lat = angles_to_torus(z[:, : handle.latent_dim]
-                                  if handle.num_tokens is None else z)
-            if handle.num_tokens is None:
-                rows.append(lat)
+            if handle.num_tokens:
+                T, D = handle.num_tokens, latent_dim
+                lat = angles_to_torus(z.reshape(n_steps, T, D)).reshape(
+                    n_steps, -1)
             else:
-                rows.append(z)  # per-token models traverse raw mu dims
-        elif dist in ("powerspherical", "vmf"):
-            zn = z / jnp.clip(jnp.linalg.norm(z, axis=-1, keepdims=True),
-                              min=1e-12)
-            rows.append(zn)
+                lat = angles_to_torus(z)
         else:
-            rows.append(z)
+            lat = z
+        rows.append(lat)
     lats = jnp.concatenate(rows, 0)
-    if dist == "clifford" and handle.num_tokens is not None:
-        # per-token: convert flattened mu angles per token
-        T = handle.num_tokens
-        D = handle.latent_dim
-        lats = angles_to_torus(lats.reshape(-1, T, D)).reshape(
-            lats.shape[0], -1)
     imgs = np.asarray(to_image(handle, handle.decode(lats)))
     imgs = imgs.reshape(-1, *img_shape)
     h, w, c = img_shape
-    canvas = np.zeros((len(dims) * h, n_steps * w, c), np.float32)
-    for i in range(len(dims)):
+    n_rows = len(dim_indices)
+    canvas = np.zeros((n_rows * h, n_steps * w, c), np.float32)
+    for i in range(n_rows):
         for j in range(n_steps):
             canvas[i * h:(i + 1) * h, j * w:(j + 1) * w] = \
                 imgs[i * n_steps + j]
+
     os.makedirs(output_dir, exist_ok=True)
-    path = os.path.join(output_dir, "latent_traversal.png")
-    return _imshow_save(
-        canvas, path, f"Latent Traversal ({dist.upper()})",
-        (n_steps, len(dims)))
+    path = os.path.join(output_dir, f"{dist}_style_exploration.png")
+    plt = _plt()
+    fig_h = max(8, n_rows * 1.5)
+    fig_w = max(12, n_steps * 1.5)
+    plt.figure(figsize=(fig_w, fig_h))
+    if c == 1:
+        plt.imshow(canvas[..., 0], cmap="gray")
+    else:
+        plt.imshow(canvas)
+    plt.yticks([h * i + h // 2 for i in range(n_rows)],
+               [f"Dim {dim_indices[i]}" for i in range(n_rows)])
+    range_str = "[-π, π]" if dist == "clifford" else "[-3σ, 3σ]"
+    plt.xticks([w * i + w // 2 for i in range(n_steps)],
+               [f"{sweep[i]:.2f}" for i in range(n_steps)], rotation=45)
+    plt.title(
+        f"{dist.capitalize()} Latent Space Traversal ($d={latent_dim}$)\n"
+        f"Each Row Shows Variations Along One Latent Dimension {range_str}")
+    plt.tight_layout()
+    plt.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close()
+    return path
+
+
+# legacy name kept for callers
+plot_latent_traversal = plot_latent_dimension_exploration
 
 
 # ---- interpolation helpers (``fashion_train.py:183-380``) ----

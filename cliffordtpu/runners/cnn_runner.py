@@ -67,6 +67,25 @@ BC_K_RANGE = list(range(5, 51, 5))
 RF_K_RANGE = list(range(2, 21, 2))
 
 
+
+
+def _eval_context():
+    """Eval battery placement: on the axon TPU individual ops sporadically
+    throw UNIMPLEMENTED, and the reference pins its FFT eval work to CPU
+    anyway (``utils/vsa.py:266-267``) — so when training ran on TPU, run
+    the whole eval battery on the coexisting CPU backend.  Returns
+    (context_manager, device_or_None)."""
+    import contextlib
+
+    if jax.default_backend() == "tpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            return jax.default_device(cpu), cpu
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext(), None
+
+
 def _jsonable(o):
     if isinstance(o, dict):
         return {k: _jsonable(v) for k, v in o.items()}
@@ -131,15 +150,19 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
         beta_arr = jnp.float32(beta)
         ekey = jax.random.fold_in(run_key, epoch + 1)
         perm = np.asarray(jax.random.permutation(ekey, n))
-        tr = {"total": 0.0, "recon": 0.0, "kld": 0.0}
+        tr_dev = None
         for s in range(steps):
             xb = jnp.asarray(
                 x_train[perm[s * args.batch_size:(s + 1) * args.batch_size]])
             state, losses = train_step(
                 state, xb, jax.random.fold_in(ekey, s + 1), beta_arr)
-            tr["total"] += float(losses["total_loss"])
-            tr["recon"] += float(losses["recon_loss"])
-            tr["kld"] += float(losses["kld_loss"])
+            cur = (losses["total_loss"], losses["recon_loss"],
+                   losses["kld_loss"])
+            # device-side accumulation: one transfer per epoch
+            tr_dev = cur if tr_dev is None else tuple(
+                a + b for a, b in zip(tr_dev, cur))
+        tr = {"total": float(tr_dev[0]), "recon": float(tr_dev[1]),
+              "kld": float(tr_dev[2])}
 
         # test epoch (beta=1 like test_epoch, fashion_train.py:113)
         te = {"total": 0.0, "recon": 0.0, "kld": 0.0}
@@ -270,13 +293,23 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                                     best_metric=best)
 
                 eval_start_time = time.time()
-                handle = ModelHandle(model, state.params)
-                ekey = jax.random.fold_in(run_key, 777)
+                eval_ctx, eval_dev = _eval_context()
+                eval_ctx.__enter__()
+                eval_params = (jax.device_put(state.params, eval_dev)
+                               if eval_dev is not None else state.params)
+                handle = ModelHandle(model, eval_params)
+                eval_root = (jax.device_put(run_key, eval_dev)
+                             if eval_dev is not None else run_key)
+                ekey = jax.random.fold_in(eval_root, 777)
 
                 # item memory of flat sampled latents (:909-925)
                 n_mem = min(1000, len(x_test))
-                item_memory, item_labels = handle.collect_flat_z(
-                    x_test, y_test, ekey, limit=n_mem, batch=args.batch_size)
+                item_memory, item_labels = safe_eval(
+                    "item_memory",
+                    lambda: handle.collect_flat_z(
+                        x_test, y_test, ekey, limit=n_mem,
+                        batch=args.batch_size),
+                    default=(None, None))
 
                 print(f"running 1-item-per-class test ({dist_name})...")
                 safe_eval(
@@ -410,7 +443,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     n_e = 0
                     for s in range(0, len(x_excl), args.batch_size):
                         xb = jnp.asarray(x_excl[s:s + args.batch_size])
-                        v = eval_step(state.params, xb,
+                        v = eval_step(eval_params, xb,
                                       jax.random.fold_in(ekey, 20_000 + s),
                                       jnp.float32(1.0))
                         for k, lk in [("total", "total_loss"),
@@ -474,6 +507,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 if not args.keep_ckpts:
                     delete_checkpoint(output_dir)
 
+                eval_ctx.__exit__(None, None, None)
                 eval_time = time.time() - eval_start_time
                 exp_time = time.time() - exp_start_time
                 timing_results[exp_name] = {

@@ -137,13 +137,15 @@ def fit(
         ekey = jax.random.fold_in(key, epoch)
         perm = np.asarray(jax.random.permutation(
             jax.random.fold_in(ekey, 0), n))
-        ep_loss = 0.0
+        ep_loss_dev = None
         for s in range(steps):
             xb = jnp.asarray(x_train[perm[s * batch_size:(s + 1) * batch_size]])
             skey = jax.random.fold_in(ekey, s + 1)
             state, losses = train_step(state, xb, skey, beta)
-            ep_loss += float(losses["total"])
-        ep_loss /= steps
+            # accumulate on device: one D2H transfer per epoch, not per step
+            ep_loss_dev = (losses["total"] if ep_loss_dev is None
+                           else ep_loss_dev + losses["total"])
+        ep_loss = float(ep_loss_dev) / steps
 
         # validation
         vkey = jax.random.fold_in(ekey, 10_000)

@@ -77,6 +77,25 @@ def _jsonable(o):
     return o
 
 
+
+
+def _eval_context():
+    """Eval battery placement: on the axon TPU individual ops sporadically
+    throw UNIMPLEMENTED, and the reference pins its FFT eval work to CPU
+    anyway (``utils/vsa.py:266-267``) — so when training ran on TPU, run
+    the whole eval battery on the coexisting CPU backend.  Returns
+    (context_manager, device_or_None)."""
+    import contextlib
+
+    if jax.default_backend() == "tpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            return jax.default_device(cpu), cpu
+        except RuntimeError:
+            pass
+    return contextlib.nullcontext(), None
+
+
 def _batches(x, y, bs):
     for s in range(0, len(x), bs):
         yield x[s:s + bs], y[s:s + bs]
@@ -159,13 +178,21 @@ def run(args):
                       f"({len(history['train_loss'])} epochs)")
 
                 eval_start_time = time.time()
-                handle = ModelHandle(model, state.params)
-                ekey = jax.random.fold_in(run_key, 2)
+                eval_ctx, eval_dev = _eval_context()
+                eval_ctx.__enter__()
+                eval_params = (jax.device_put(state.params, eval_dev)
+                               if eval_dev is not None else state.params)
+                handle = ModelHandle(model, eval_params)
+                # key must live on the eval device too, or committed-input
+                # placement drags eval computations back onto the TPU
+                eval_root = (jax.device_put(run_key, eval_dev)
+                             if eval_dev is not None else run_key)
+                ekey = jax.random.fold_in(eval_root, 2)
 
                 test_metrics = safe_eval(
                     "compute_test_metrics",
                     lambda: compute_test_metrics(
-                        ekey, model, state.params,
+                        ekey, model, eval_params,
                         _batches(x_test, y_test, 512)),
                     default={"ll": float("nan"), "entropy": float("nan"),
                              "recon": float("nan"), "kl": float("nan")})
@@ -207,7 +234,9 @@ def run(args):
 
                 # item memory of posterior means (reference :364-376)
                 n_mem = min(500, len(x_test))
-                item_memory = handle.latent_mu(x_test[:n_mem], ekey)
+                item_memory = safe_eval(
+                    "item_memory",
+                    lambda: handle.latent_mu(x_test[:n_mem], ekey))
                 item_labels = y_test[:n_mem]
                 item_images = ds["x_test"][:n_mem]
 
@@ -351,6 +380,7 @@ def run(args):
                     })
                     logger.finish_run()
 
+                eval_ctx.__exit__(None, None, None)
                 eval_time = time.time() - eval_start_time
                 run_time = time.time() - run_start_time
                 timing_results[f"{dist}_d{mdim}_run{run_i + 1}"] = {
