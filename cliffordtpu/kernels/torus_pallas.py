@@ -136,9 +136,12 @@ def angles_to_torus_fused(angles: jnp.ndarray) -> jnp.ndarray:
     """
     d = angles.shape[-1]
     if d < 2 or d > 2048 or jax.default_backend() == "cpu":
-        from cliffordtpu.ops.torus import angles_to_torus
+        from cliffordtpu.ops.torus import MATMUL_MAX_DIM, angles_to_torus
 
-        return angles_to_torus(angles)
+        # explicit method: "auto" would re-enter this function when the
+        # CLIFFORDTPU_TORUS_METHOD=pallas opt-in is set (infinite recursion)
+        return angles_to_torus(
+            angles, method="matmul" if d <= MATMUL_MAX_DIM else "fft")
     batch_shape = angles.shape[:-1]
     th = angles.reshape(-1, d)[:, 1:].astype(jnp.float32)  # angle 0 pinned
     B = th.shape[0]

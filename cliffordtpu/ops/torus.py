@@ -31,6 +31,7 @@ Properties preserved from the reference:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -78,7 +79,16 @@ def angles_to_torus(angles: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     """
     d = angles.shape[-1]
     if method == "auto":
-        method = "matmul" if d <= MATMUL_MAX_DIM else "fft"
+        # CLIFFORDTPU_TORUS_METHOD=pallas opts the fused TPU kernel in
+        # globally (measured up to 1.9x vs the XLA matmul path on v5e,
+        # bit-identical results; see kernels/torus_pallas.py)
+        method = (os.environ.get("CLIFFORDTPU_TORUS_METHOD")
+                  or ("matmul" if d <= MATMUL_MAX_DIM else "fft"))
+    if method == "pallas":
+        # fused cos/sin + dual-matmul TPU kernel (falls back off-TPU)
+        from cliffordtpu.kernels.torus_pallas import angles_to_torus_fused
+
+        return angles_to_torus_fused(angles)
     if method == "matmul":
         cos_b, sin_b, const = _torus_bases(d)
         th = angles[..., 1:]
