@@ -62,3 +62,13 @@ def test_public_wrapper_cpu_fallback():
         np.asarray(angles_to_torus(angles)),
         atol=1e-6,
     )
+
+
+def test_env_optin_no_recursion(monkeypatch):
+    """CLIFFORDTPU_TORUS_METHOD=pallas must not recurse through the CPU
+    fallback (regression: auto -> pallas -> fallback -> auto loop)."""
+    monkeypatch.setenv("CLIFFORDTPU_TORUS_METHOD", "pallas")
+    a = jax.random.uniform(KEY, (4, 12)) * 2 * np.pi
+    out = angles_to_torus(a)
+    ref = angles_to_torus(a, method="matmul")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
