@@ -138,8 +138,12 @@ class TransformerBlock(nn.Module):
 # ---- CNN components (``cliffordar_model.py:121-207``) ----
 
 
-def _gn(ch):
-    return nn.GroupNorm(num_groups=min(32, max(1, ch // 4)), epsilon=1e-6)
+def _gn(ch, dtype=jnp.float32):
+    # dtype = compute dtype; params stay f32. bf16 GN is standard practice
+    # for conv residual streams (normalization statistics at 8-bit mantissa
+    # over >=64 channels are well-conditioned).
+    return nn.GroupNorm(num_groups=min(32, max(1, ch // 4)), epsilon=1e-6,
+                        dtype=dtype)
 
 
 class ResDownBlock(nn.Module):
@@ -149,18 +153,18 @@ class ResDownBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = _gn(in_ch)(x)
+        h = _gn(in_ch, self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
-        h = _gn(self.out_ch)(h)
+        h = _gn(self.out_ch, self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
         short = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
                         use_bias=False, kernel_init=_XAVIER,
                         dtype=self.dtype)(x)
-        return (short + h).astype(jnp.float32)
+        return short + h
 
 
 class ResUpBlock(nn.Module):
@@ -173,28 +177,28 @@ class ResUpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = _gn(in_ch)(x)
+        h = _gn(in_ch, self.dtype)(x)
         h = nn.silu(h)
         h = nn.ConvTranspose(self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
                              use_bias=False, kernel_init=_XAVIER,
                              dtype=self.dtype)(h)
-        h = _gn(self.out_ch)(h.astype(jnp.float32))
+        h = _gn(self.out_ch, self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h)
         short = nn.ConvTranspose(self.out_ch, (2, 2), strides=(2, 2),
                                  padding="VALID", use_bias=False,
                                  kernel_init=_XAVIER, dtype=self.dtype)(x)
-        x = (short + h).astype(jnp.float32)
-        h2 = _gn(self.out_ch)(x)
+        x = short + h
+        h2 = _gn(self.out_ch, self.dtype)(x)
         h2 = nn.silu(h2)
         h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                      use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h2)
-        h2 = _gn(self.out_ch)(h2.astype(jnp.float32))
+        h2 = _gn(self.out_ch, self.dtype)(h2)
         h2 = nn.silu(h2)
         h2 = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                      use_bias=False, kernel_init=_XAVIER, dtype=self.dtype)(h2)
-        return x + h2.astype(jnp.float32)
+        return x + h2
 
 
 # ---- encoder / decoder (``cliffordar_model.py:212-316``) ----
@@ -215,9 +219,9 @@ class ViTEncoder(nn.Module):
         x = nn.Conv(self.cnn_chs[0], (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_XAVIER,
                     dtype=self.dtype)(image)
-        x = x.astype(jnp.float32)
         for ch in self.cnn_chs[1:]:
             x = ResDownBlock(ch, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
 
