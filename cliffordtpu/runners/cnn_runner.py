@@ -96,6 +96,57 @@ def _jsonable(o):
     return o
 
 
+
+
+def _run_subprocess_eval(args, state, output_dir, dataset_name,
+                         handle_latent_dim):
+    """Save checkpoint, run scripts/eval_checkpoint.py in a fresh CPU-only
+    process, read its metrics/vsa_raw back.  Returns (ok, metrics, vsa)."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        save_checkpoint(output_dir, state, step=0)
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "scripts",
+            "eval_checkpoint.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cmd = [
+            _sys.executable, script,
+            "--ckpt", output_dir,
+            "--arch", getattr(args, "arch", "cnn"),
+            "--distribution", args._actual_dist,
+            "--latent_dim", str(handle_latent_dim),
+            "--dataset", dataset_name,
+            "--outdir", output_dir,
+            "--vsa_trials", str(args.vsa_trials),
+            "--fid_samples", str(args.fid_samples),
+        ]
+        if getattr(args, "_actual_l2", False):
+            cmd += ["--l2_normalize"]
+        if args.limit_train:
+            cmd += ["--limit_train", str(args.limit_train)]
+        if args.limit_test:
+            cmd += ["--limit_test", str(args.limit_test)]
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=7200)
+        if r.returncode != 0:
+            print(f"warning: subprocess eval failed rc={r.returncode}:\n"
+                  f"{r.stderr[-2000:]}")
+            return False, {}, {}
+        with open(os.path.join(output_dir, "metrics.json")) as fh:
+            metrics = json.load(fh)
+        with open(os.path.join(output_dir, "vsa_raw.json")) as fh:
+            vsa = json.load(fh)
+        if not args.keep_ckpts:
+            delete_checkpoint(output_dir)
+        return True, metrics, vsa
+    except Exception as e:
+        print(f"warning: subprocess eval errored: {e!r}")
+        return False, {}, {}
+
+
 def build_model(args, dist_name: str, latent_dim: int, in_channels: int):
     """Model construction per arch (``fashion_train.py:788-822``)."""
     if dist_name == "gaussian_nol2":
@@ -281,6 +332,8 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     hash((latent_dim, dist_name, trial_num)) % (2**31))
                 args.cur_lr = dist_lr.get(dist_name, args.lr)
                 model = build_model(args, dist_name, latent_dim, in_channels)
+                args._actual_dist = model.distribution
+                args._actual_l2 = bool(model.l2_normalize)
 
                 train_start_time = time.time()
                 state, best, eval_step = train_model(
@@ -293,6 +346,20 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                                     best_metric=best)
 
                 eval_start_time = time.time()
+
+                # --eval_subprocess: run the battery in a fresh CPU-only
+                # process (immune to axon runtime wedging; see CLAUDE.md)
+                did_sub, sub_metrics, sub_vsa = False, {}, {}
+                if getattr(args, "eval_subprocess", False):
+                    did_sub, sub_metrics, sub_vsa = _run_subprocess_eval(
+                        args, state, output_dir, dataset_name,
+                        handle_latent_dim=latent_dim)
+
+                def stage(label, fn, default=None):
+                    if did_sub:
+                        return default
+                    return stage(label, fn, default)
+
                 eval_ctx, eval_dev = _eval_context()
                 eval_ctx.__enter__()
                 eval_params = (jax.device_put(state.params, eval_dev)
@@ -304,7 +371,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
 
                 # item memory of flat sampled latents (:909-925)
                 n_mem = min(1000, len(x_test))
-                item_memory, item_labels = safe_eval(
+                item_memory, item_labels = stage(
                     "item_memory",
                     lambda: handle.collect_flat_z(
                         x_test, y_test, ekey, limit=n_mem,
@@ -312,7 +379,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     default=(None, None))
 
                 print(f"running 1-item-per-class test ({dist_name})...")
-                safe_eval(
+                stage(
                     "per_class_bundle",
                     lambda: test_per_class_bundle_capacity_k_items(
                         d=latent_dim, n_items=n_mem, n_classes=10,
@@ -323,7 +390,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                         key=ekey))
 
                 print(f"running bundle capacity test ({dist_name})...")
-                bundle_cap_raw = safe_eval(
+                bundle_cap_raw = stage(
                     "bundle_capacity",
                     lambda: vsa_bundle_capacity(
                         d=item_memory.shape[-1], n_items=n_mem,
@@ -334,7 +401,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     default=dict(EMPTY_CURVE))
 
                 print(f"running role-filler unbinding test ({dist_name})...")
-                role_filler_raw = safe_eval(
+                role_filler_raw = stage(
                     "role_filler",
                     lambda: vsa_binding_unbinding(
                         d=item_memory.shape[-1], n_items=n_mem,
@@ -346,41 +413,41 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 rf_results = {"role_filler_capacity": role_filler_raw}
 
                 print(f"running self-binding test ({dist_name})...")
-                fourier_star = safe_eval(
+                fourier_star = stage(
                     "self_binding(*)",
                     lambda: test_self_binding(
                         handle, x_test[:500], y_test[:500], output_dir,
                         unbind_method="*", img_shape=IMG_SHAPE, key=ekey),
                     default=dict(EMPTY_BINDING))
                 deconv_dir = ensure_dir(f"{output_dir}/deconv")
-                fourier_perp = safe_eval(
+                fourier_perp = stage(
                     "self_binding(†)",
                     lambda: test_self_binding(
                         handle, x_test[:500], y_test[:500], deconv_dir,
                         unbind_method="†", img_shape=IMG_SHAPE, key=ekey),
                     default=dict(EMPTY_BINDING))
 
-                safe_eval("reconstructions", lambda: plot_reconstructions(
+                stage("reconstructions", lambda: plot_reconstructions(
                     handle, x_test, f"{output_dir}/reconstructions.png",
                     img_shape=IMG_SHAPE, key=ekey))
                 if trial == 0:
-                    safe_eval("tsne", lambda: plot_latent_space(
+                    stage("tsne", lambda: plot_latent_space(
                         handle, x_test, y_test, f"{output_dir}/tsne.png",
                         n_plot=min(2000, len(x_test)), key=ekey))
                 if full_eval:
-                    safe_eval("decoded_bundles",
+                    stage("decoded_bundles",
                               lambda: plot_decoded_bundles(
                                   handle, x_test, y_test,
                                   f"{output_dir}/decoded_bundles.png",
                                   class_names=class_names,
                                   n_samples=min(500, len(x_test)), key=ekey))
-                    safe_eval("latent_interpolations",
+                    stage("latent_interpolations",
                               lambda: plot_latent_interpolations(
                                   handle, fixed_interp_pairs, output_dir,
                                   n_steps=10, img_shape=IMG_SHAPE, key=ekey))
 
                 print("running knn evaluation...")
-                knn_metrics = safe_eval(
+                knn_metrics = stage(
                     "knn_evaluation",
                     lambda: perform_knn_evaluation(
                         handle, x_train, y_train, x_test, y_test,
@@ -388,7 +455,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                         key=ekey),
                     default={})
 
-                mean_vector_acc = safe_eval(
+                mean_vector_acc = stage(
                     "mean_vector_cosine",
                     lambda: evaluate_mean_vector_cosine(
                         handle, x_test, y_test,
@@ -401,7 +468,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 print("mean_vector_cosine_acc: ", mean_vector_acc)
 
                 model_latent = handle.latent_dim
-                fid_res = safe_eval(
+                fid_res = stage(
                     "generation_fid",
                     lambda: compute_fid(
                         handle, x_test, model.distribution, model_latent,
@@ -414,10 +481,36 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 print(f"generation FID: {gen_fid:.2f} "
                       f"({fid_res['fid_features']})")
 
-                if trial == 0:
+                if did_sub:
+                    knn_metrics = {k: v for k, v in sub_metrics.items()
+                                   if k.startswith("knn_")}
+                    mean_vector_acc = sub_metrics.get(
+                        "mean_vector_cosine_acc", 0.0)
+                    fid_res = {
+                        "fid": sub_metrics.get("generation_fid",
+                                               float("nan")),
+                        "fid_features": sub_metrics.get("fid_features",
+                                                        "subprocess"),
+                    }
+                    gen_fid = fid_res["fid"]
+                    bundle_cap_raw = sub_vsa.get(
+                        "bundle_cap", dict(EMPTY_CURVE))
+                    role_filler_raw = sub_vsa.get(
+                        "role_filler", dict(EMPTY_CURVE))
+                    rf_results = {"role_filler_capacity": role_filler_raw}
+                    fourier_star = {**EMPTY_BINDING,
+                                    **sub_vsa.get("self_binding_star", {})}
+                    fourier_perp = {**EMPTY_BINDING,
+                                    **sub_vsa.get("self_binding_dagger", {})}
+                    for fr in (fourier_star, fourier_perp):
+                        if fr.get("k_sims"):
+                            fr["binding_k_self_similarity"] = float(
+                                fr["k_sims"][-1])
+
+                if trial == 0 and not did_sub:
                     print("running cross-class bind/unbind test...")
                     if dataset_name == "fashionmnist":
-                        safe_eval("cross_class",
+                        stage("cross_class",
                                   lambda: test_cross_class_bind_unbind(
                                       handle, x_test[:500], y_test[:500],
                                       output_dir, img_shape=IMG_SHAPE,
@@ -426,7 +519,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                         rng = np.random.RandomState(trial_num)
                         for _ in range(2):
                             a, b = rng.choice(10, 2, replace=False)
-                            safe_eval("cross_class",
+                            stage("cross_class",
                                       lambda a=a, b=b:
                                       test_cross_class_bind_unbind(
                                           handle, x_test[:500],

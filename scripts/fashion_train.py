@@ -60,6 +60,9 @@ def build_parser():
     p.add_argument("--limit_test", type=int, default=None)
     p.add_argument("--vsa_trials", type=int, default=20)
     p.add_argument("--fid_samples", type=int, default=2048)
+    p.add_argument("--eval_subprocess", action="store_true",
+                   help="run the eval battery in a fresh CPU-only process "
+                        "(recommended on the axon TPU; see CLAUDE.md)")
     return p
 
 
