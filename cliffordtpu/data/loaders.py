@@ -19,11 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_DATA_DIRS = [
-    os.environ.get("CLIFFORDTPU_DATA_DIR", ""),
-    "data",
-    "/root/data",
-]
+def _data_dirs():
+    # read the env var at call time so tests/callers can set it dynamically
+    return [os.environ.get("CLIFFORDTPU_DATA_DIR", ""), "data", "/root/data"]
 
 _SPECS = {
     "mnist": dict(shape=(28, 28, 1), n_classes=10, norm="unit"),
@@ -41,17 +39,23 @@ _IDX_NAMES = {
 
 def _read_idx(path: str) -> np.ndarray:
     opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rb") as f:
-        magic = struct.unpack(">HBB", f.read(4))
-        _, dtype_code, ndim = magic
-        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
-        data = np.frombuffer(f.read(), dtype=np.uint8)
-    return data.reshape(dims)
+    try:
+        with opener(path, "rb") as f:
+            magic = struct.unpack(">HBB", f.read(4))
+            zero, dtype_code, ndim = magic
+            if zero != 0 or dtype_code != 8 or not 1 <= ndim <= 3:
+                raise ValueError(f"bad idx magic {magic}")
+            dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+            data = np.frombuffer(f.read(), dtype=np.uint8)
+        return data.reshape(dims)
+    except (struct.error, ValueError, OSError) as e:
+        raise ValueError(
+            f"corrupt or non-idx file {path!r}: {e}") from e
 
 
 def _find_real(name: str):
     sub = {"mnist": "MNIST/raw", "fashionmnist": "FashionMNIST/raw"}.get(name)
-    for root in _DATA_DIRS:
+    for root in _data_dirs():
         if not root:
             continue
         for base in filter(None, [os.path.join(root, name), root,

@@ -70,3 +70,38 @@ def test_iterate_batches():
     xs = np.concatenate(
         [b[0] for b in iterate_batches(x, y, 3, key=KEY)]).ravel()
     assert sorted(xs.tolist()) == list(range(10))
+
+
+def test_idx_ingestion(tmp_path, monkeypatch):
+    """Real idx files (raw and .gz) load byte-exact (ROADMAP item 1)."""
+    import gzip
+    import struct
+
+    d = tmp_path / "mnist"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    xtr = rng.integers(0, 256, (30, 28, 28), dtype=np.uint8)
+    ytr = rng.integers(0, 10, 30).astype(np.uint8)
+    xte = rng.integers(0, 256, (10, 28, 28), dtype=np.uint8)
+    yte = rng.integers(0, 10, 10).astype(np.uint8)
+
+    def hdr_img(a):
+        return struct.pack(">HBB", 0, 8, 3) + struct.pack(">III", *a.shape)
+
+    def hdr_lbl(a):
+        return struct.pack(">HBB", 0, 8, 1) + struct.pack(">I", a.shape[0])
+
+    (d / "train-images-idx3-ubyte").write_bytes(hdr_img(xtr) + xtr.tobytes())
+    (d / "train-labels-idx1-ubyte").write_bytes(hdr_lbl(ytr) + ytr.tobytes())
+    with gzip.open(d / "t10k-images-idx3-ubyte.gz", "wb") as f:
+        f.write(hdr_img(xte) + xte.tobytes())
+    with gzip.open(d / "t10k-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(hdr_lbl(yte) + yte.tobytes())
+
+    monkeypatch.setenv("CLIFFORDTPU_DATA_DIR", str(tmp_path))
+    ds = load_dataset("mnist")
+    assert ds["source"] == "real"
+    np.testing.assert_allclose(ds["x_train"][..., 0], xtr / 255.0, atol=1e-6)
+    np.testing.assert_array_equal(ds["y_train"], ytr)
+    np.testing.assert_allclose(ds["x_test"][..., 0], xte / 255.0, atol=1e-6)
+    np.testing.assert_array_equal(ds["y_test"], yte)
