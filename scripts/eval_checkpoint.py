@@ -71,6 +71,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_plots", action="store_true")
     p.add_argument("--l2_normalize", action="store_true")
+    p.add_argument("--rf_no_random_keys", action="store_true",
+                   help="role-filler with roles drawn from the item memory "
+                        "(the MNIST runners' variant) instead of random "
+                        "unitary keys")
     args = p.parse_args()
 
     from cliffordtpu.data import load_dataset
@@ -155,7 +159,8 @@ def main():
             d=item_memory.shape[-1], n_items=n_mem,
             n_trials=args.vsa_trials, plot=not args.skip_plots,
             save_dir=outdir, item_memory=item_memory,
-            bind_with_random=True, baseline_d=handle.latent_dim, key=key),
+            bind_with_random=not args.rf_no_random_keys,
+            baseline_d=handle.latent_dim, key=key),
         default=dict(EMPTY_CURVE))
     safe_eval("per_class", lambda: test_per_class_bundle_capacity_k_items(
         d=handle.latent_dim, n_items=n_mem, n_classes=10, items_per_class=1,

@@ -79,6 +79,59 @@ def _jsonable(o):
 
 
 
+
+
+def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
+                         latent_dim, l2_normalize, rf_no_random_keys=True):
+    """Save checkpoint + run scripts/eval_checkpoint.py in a fresh CPU-only
+    process (axon-wedge isolation; same pattern as the CNN runner)."""
+    import subprocess
+
+    from cliffordtpu.train.checkpoint import (
+        delete_checkpoint,
+        save_checkpoint,
+    )
+
+    try:
+        save_checkpoint(outdir, state, step=0)
+        script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "eval_checkpoint.py")
+        if not os.path.exists(script):
+            script = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "eval_checkpoint.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cmd = [sys.executable, script, "--ckpt", outdir, "--arch", arch,
+               "--distribution", distribution,
+               "--latent_dim", str(latent_dim),
+               "--dataset", "mnist", "--img_size", "28",
+               "--outdir", outdir,
+               "--vsa_trials", str(args.vsa_trials)]
+        if l2_normalize:
+            cmd += ["--l2_normalize"]
+        if rf_no_random_keys:
+            cmd += ["--rf_no_random_keys"]
+        if args.limit_train:
+            cmd += ["--limit_train", str(args.limit_train)]
+        if args.limit_test:
+            cmd += ["--limit_test", str(args.limit_test)]
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=7200)
+        if r.returncode != 0:
+            print(f"warning: subprocess eval failed rc={r.returncode}:\n"
+                  f"{r.stderr[-2000:]}")
+            return False, {}, {}
+        with open(os.path.join(outdir, "metrics.json")) as fh:
+            metrics = json.load(fh)
+        with open(os.path.join(outdir, "vsa_raw.json")) as fh:
+            vsa = json.load(fh)
+        delete_checkpoint(outdir)
+        return True, metrics, vsa
+    except Exception as e:
+        print(f"warning: subprocess eval errored: {e!r}")
+        return False, {}, {}
+
+
 def _eval_context():
     """Eval battery placement: on the axon TPU individual ops sporadically
     throw UNIMPLEMENTED, and the reference pins its FFT eval work to CPU
@@ -178,6 +231,19 @@ def run(args):
                       f"({len(history['train_loss'])} epochs)")
 
                 eval_start_time = time.time()
+                vis_dir_pre = ensure_dir(f"visualizations/d_{mdim}/{dist}")
+                did_sub, sub_metrics, sub_vsa = False, {}, {}
+                if getattr(args, "eval_subprocess", False):
+                    did_sub, sub_metrics, sub_vsa = _run_subprocess_eval(
+                        args, state, vis_dir_pre, arch="mlp",
+                        distribution=model_dist, latent_dim=model_z_dim,
+                        l2_normalize=l2_norm)
+
+                def stage(label, fn, default=None):
+                    if did_sub:
+                        return default
+                    return safe_eval(label, fn, default)
+
                 eval_ctx, eval_dev = _eval_context()
                 eval_ctx.__enter__()
                 eval_params = (jax.device_put(state.params, eval_dev)
@@ -203,29 +269,32 @@ def run(args):
                       f"RE: {test_metrics['recon']:.2f}, "
                       f"KL: {test_metrics['kl']:.2f}")
 
-                knn_results = safe_eval(
+                knn_results = stage(
                     "knn_evaluation",
                     lambda: perform_knn_evaluation(
                         handle, x_train, y_train, x_test, y_test,
                         [s for s in KNN_SAMPLES if s <= len(x_train)],
                         key=ekey),
                     default={})
-                for s in KNN_SAMPLES:
-                    if f"knn_acc_{s}" in knn_results:
-                        agg_results[dist][s].append(knn_results[f"knn_acc_{s}"])
-                        agg_f1[dist][s].append(knn_results[f"knn_f1_{s}"])
+                if not did_sub:
+                    for s in KNN_SAMPLES:
+                        if f"knn_acc_{s}" in knn_results:
+                            agg_results[dist][s].append(
+                                knn_results[f"knn_acc_{s}"])
+                            agg_f1[dist][s].append(
+                                knn_results[f"knn_f1_{s}"])
 
                 vis_dir = ensure_dir(f"visualizations/d_{mdim}/{dist}")
                 deconv_dir = ensure_dir(f"{vis_dir}/deconv")
                 x_sub, y_sub = x_test[:1000], y_test[:1000]
 
-                fourier_pseudo = safe_eval(
+                fourier_pseudo = stage(
                     "self_binding(*)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, vis_dir, unbind_method="*",
                         key=ekey),
                     default=dict(EMPTY_BINDING))
-                fourier_deconv = safe_eval(
+                fourier_deconv = stage(
                     "self_binding(†)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, deconv_dir, unbind_method="†",
@@ -234,14 +303,14 @@ def run(args):
 
                 # item memory of posterior means (reference :364-376)
                 n_mem = min(500, len(x_test))
-                item_memory = safe_eval(
+                item_memory = stage(
                     "item_memory",
                     lambda: handle.latent_mu(x_test[:n_mem], ekey))
                 item_labels = y_test[:n_mem]
                 item_images = ds["x_test"][:n_mem]
 
                 print(f"running 1-item-per-class test ({dist})...")
-                safe_eval("per_class_bundle", lambda: test_per_class_bundle_capacity_k_items(
+                stage("per_class_bundle", lambda: test_per_class_bundle_capacity_k_items(
                     d=item_memory.shape[-1], n_items=n_mem, n_classes=10,
                     items_per_class=1, n_trials=2, plot=True,
                     save_dir=vis_dir, item_memory=item_memory,
@@ -250,7 +319,7 @@ def run(args):
                     class_names=[str(i) for i in range(10)], key=ekey))
 
                 print(f"running bundle capacity ({dist})...")
-                bundle_cap_raw = safe_eval(
+                bundle_cap_raw = stage(
                     "bundle_capacity",
                     lambda: vsa_bundle_capacity(
                         d=item_memory.shape[-1], n_items=n_mem,
@@ -266,7 +335,7 @@ def run(args):
                     ("†", "role_filler_no_random_keys_deconv"),
                 ]:
                     save_d = deconv_dir if ubmethod == "†" else vis_dir
-                    rf_res = safe_eval(
+                    rf_res = stage(
                         f"role_filler({ubmethod})",
                         lambda ub=ubmethod, sd=save_d: vsa_binding_unbinding(
                             d=item_memory.shape[-1], n_items=n_mem,
@@ -285,30 +354,30 @@ def run(args):
                 role_filler_raw = rf_results.get(
                     "role_filler_no_random_keys", {})
 
-                safe_eval("pairwise_bind_bundle",
+                stage("pairwise_bind_bundle",
                           lambda: test_pairwise_bind_bundle_decode(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1),
                               class_names=[str(i) for i in range(10)],
                               key=ekey))
-                safe_eval("cross_class_bind_unbind",
+                stage("cross_class_bind_unbind",
                           lambda: test_cross_class_bind_unbind(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1), class_a=6, class_b=9,
                               key=ekey))
 
-                safe_eval("reconstructions", lambda: plot_reconstructions(
+                stage("reconstructions", lambda: plot_reconstructions(
                     handle, x_test, os.path.join(vis_dir,
                                                  "reconstructions.png"),
                     key=ekey))
-                safe_eval("interpolations", lambda: plot_interpolations(
+                stage("interpolations", lambda: plot_interpolations(
                     handle, x_test, y_test,
                     os.path.join(vis_dir, "interpolations.png"), key=ekey))
-                safe_eval("tsne", lambda: plot_latent_space(
+                stage("tsne", lambda: plot_latent_space(
                     handle, x_test, y_test, os.path.join(vis_dir, "tsne.png"),
                     n_plot=min(1000, len(x_test)), key=ekey))
 
-                mean_vector_acc = safe_eval(
+                mean_vector_acc = stage(
                     "mean_vector_cosine",
                     lambda: evaluate_mean_vector_cosine(
                         handle, x_test, y_test,
@@ -317,8 +386,36 @@ def run(args):
                             max_per_class=1000, key=ekey),
                         key=ekey)[0],
                     default=0.0)
-                print(f"  mean vector cosine acc: {mean_vector_acc:.4f}")
-                agg_mvc[dist].append(float(mean_vector_acc))
+                if not did_sub:
+                    print(f"  mean vector cosine acc: "
+                          f"{mean_vector_acc:.4f}")
+                    agg_mvc[dist].append(float(mean_vector_acc))
+
+                if did_sub:
+                    knn_results = {k: v for k, v in sub_metrics.items()
+                                   if k.startswith("knn_")}
+                    for s in KNN_SAMPLES:
+                        if f"knn_acc_{s}" in knn_results:
+                            agg_results[dist][s].append(
+                                knn_results[f"knn_acc_{s}"])
+                            agg_f1[dist][s].append(
+                                knn_results[f"knn_f1_{s}"])
+                    mean_vector_acc = sub_metrics.get(
+                        "mean_vector_cosine_acc", 0.0)
+                    agg_mvc[dist].append(float(mean_vector_acc))
+                    bundle_cap_raw = sub_vsa.get(
+                        "bundle_cap", dict(EMPTY_CURVE))
+                    role_filler_raw = sub_vsa.get(
+                        "role_filler", dict(EMPTY_CURVE))
+                    fourier_pseudo = {**EMPTY_BINDING,
+                                      **sub_vsa.get("self_binding_star", {})}
+                    fourier_deconv = {
+                        **EMPTY_BINDING,
+                        **sub_vsa.get("self_binding_dagger", {})}
+                    for fr in (fourier_pseudo, fourier_deconv):
+                        if fr.get("k_sims"):
+                            fr["binding_k_self_similarity"] = float(
+                                fr["k_sims"][-1])
 
                 # per-trial dumps (reference :493-527)
                 dist_out = {"normal": "gaussian",
@@ -353,16 +450,16 @@ def run(args):
                     json.dump(trial_metrics_out, f, indent=2)
 
                 if dist == "clifford" and mdim >= 2:
-                    safe_eval("clifford_manifold",
+                    stage("clifford_manifold",
                               lambda: plot_clifford_manifold_visualization(
                                   handle, vis_dir, n_grid=16, dims=(0, 1)))
                 elif dist == "powerspherical" and mdim >= 2:
-                    safe_eval("ps_manifold",
+                    stage("ps_manifold",
                               lambda: plot_powerspherical_manifold_visualization(
                                   handle, vis_dir, n_samples=1000,
                                   dims=(0, 1), key=ekey))
                 elif dist == "normal" and mdim >= 2:
-                    safe_eval("gaussian_manifold",
+                    stage("gaussian_manifold",
                               lambda: plot_gaussian_manifold_visualization(
                                   handle, vis_dir, n_samples=1000,
                                   dims=(0, 1), key=ekey))
@@ -454,6 +551,9 @@ def build_parser():
                         help="cap train set size (smoke tests)")
     parser.add_argument("--limit_test", type=int, default=None)
     parser.add_argument("--vsa_trials", type=int, default=20)
+    parser.add_argument("--eval_subprocess", action="store_true",
+                        help="run the VSA/kNN battery in a fresh CPU-only "
+                             "process (recommended on the axon TPU)")
     return parser
 
 

@@ -70,6 +70,58 @@ def _jsonable(o):
 
 
 
+
+def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
+                         latent_dim, l2_normalize, rf_no_random_keys=True):
+    """Save checkpoint + run scripts/eval_checkpoint.py in a fresh CPU-only
+    process (axon-wedge isolation; same pattern as the CNN runner)."""
+    import subprocess
+
+    from cliffordtpu.train.checkpoint import (
+        delete_checkpoint,
+        save_checkpoint,
+    )
+
+    try:
+        save_checkpoint(outdir, state, step=0)
+        script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "eval_checkpoint.py")
+        if not os.path.exists(script):
+            script = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "eval_checkpoint.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cmd = [sys.executable, script, "--ckpt", outdir, "--arch", arch,
+               "--distribution", distribution,
+               "--latent_dim", str(latent_dim),
+               "--dataset", "mnist", "--img_size", "28",
+               "--outdir", outdir,
+               "--vsa_trials", str(args.vsa_trials)]
+        if l2_normalize:
+            cmd += ["--l2_normalize"]
+        if rf_no_random_keys:
+            cmd += ["--rf_no_random_keys"]
+        if args.limit_train:
+            cmd += ["--limit_train", str(args.limit_train)]
+        if args.limit_test:
+            cmd += ["--limit_test", str(args.limit_test)]
+        r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=7200)
+        if r.returncode != 0:
+            print(f"warning: subprocess eval failed rc={r.returncode}:\n"
+                  f"{r.stderr[-2000:]}")
+            return False, {}, {}
+        with open(os.path.join(outdir, "metrics.json")) as fh:
+            metrics = json.load(fh)
+        with open(os.path.join(outdir, "vsa_raw.json")) as fh:
+            vsa = json.load(fh)
+        delete_checkpoint(outdir)
+        return True, metrics, vsa
+    except Exception as e:
+        print(f"warning: subprocess eval errored: {e!r}")
+        return False, {}, {}
+
+
 def _eval_context():
     """Eval battery placement: on the axon TPU individual ops sporadically
     throw UNIMPLEMENTED, and the reference pins its FFT eval work to CPU
@@ -149,6 +201,19 @@ def run(args):
             print(f"training time: {train_time:.2f}s")
 
             eval_start_time = time.time()
+            vis_dir_pre = ensure_dir(f"visualizations/d_{d_manifold}/vmf")
+            did_sub, sub_metrics, sub_vsa = False, {}, {}
+            if getattr(args, "eval_subprocess", False) and not args.simple:
+                did_sub, sub_metrics, sub_vsa = _run_subprocess_eval(
+                    args, state, vis_dir_pre, arch="mlp",
+                    distribution="vmf", latent_dim=model_z_dim,
+                    l2_normalize=False)
+
+            def stage(label, fn, default=None):
+                if did_sub:
+                    return default
+                return safe_eval(label, fn, default)
+
             eval_ctx, eval_dev = _eval_context()
             eval_ctx.__enter__()
             eval_params = (jax.device_put(state.params, eval_dev)
@@ -172,12 +237,15 @@ def run(args):
                   f"RE={test_metrics['recon']:.2f}  "
                   f"KL={test_metrics['kl']:.2f}")
 
-            knn_results = safe_eval(
+            knn_results = stage(
                 "knn_evaluation",
                 lambda: perform_knn_evaluation(
                     handle, x_train, y_train, x_test, y_test,
                     [s for s in KNN_SAMPLES if s <= len(x_train)], key=ekey),
                 default={})
+            if did_sub:
+                knn_results = {k: v for k, v in sub_metrics.items()
+                               if k.startswith("knn_")}
             for n in KNN_SAMPLES:
                 if f"knn_acc_{n}" in knn_results:
                     agg_results[n].append(knn_results[f"knn_acc_{n}"])
@@ -188,13 +256,13 @@ def run(args):
                 deconv_dir = ensure_dir(f"{vis_dir}/deconv")
                 x_sub, y_sub = x_test[:500], y_test[:500]
 
-                self_bind = safe_eval(
+                self_bind = stage(
                     "self_binding(*)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, vis_dir, unbind_method="*",
                         key=ekey),
                     default=dict(EMPTY_BINDING))
-                self_bind_deconv = safe_eval(
+                self_bind_deconv = stage(
                     "self_binding(†)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, deconv_dir, unbind_method="†",
@@ -202,11 +270,11 @@ def run(args):
                     default=dict(EMPTY_BINDING))
 
                 n_mem = min(500, len(x_test))
-                item_memory = safe_eval(
+                item_memory = stage(
                     "item_memory",
                     lambda: handle.latent_mu(x_test[:n_mem], ekey))
 
-                bundle_cap_raw = safe_eval(
+                bundle_cap_raw = stage(
                     "bundle_capacity",
                     lambda: vsa_bundle_capacity(
                         d=item_memory.shape[-1], n_items=n_mem,
@@ -224,7 +292,7 @@ def run(args):
                 ]
                 rf_results = {}
                 for bind_rand, ubmethod, save_d, rf_name in rf_variants:
-                    rf_res = safe_eval(
+                    rf_res = stage(
                         f"role_filler({rf_name})",
                         lambda ub=ubmethod, sd=save_d, br=bind_rand:
                             vsa_binding_unbinding(
@@ -243,30 +311,30 @@ def run(args):
                         os.rename(default_plot,
                                   os.path.join(save_d, f"{rf_name}.png"))
 
-                safe_eval("pairwise_bind_bundle",
+                stage("pairwise_bind_bundle",
                           lambda: test_pairwise_bind_bundle_decode(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1),
                               class_names=[str(i) for i in range(10)],
                               key=ekey))
-                safe_eval("cross_class_bind_unbind",
+                stage("cross_class_bind_unbind",
                           lambda: test_cross_class_bind_unbind(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1), class_a=6, class_b=9,
                               key=ekey))
 
-                safe_eval("reconstructions", lambda: plot_reconstructions(
+                stage("reconstructions", lambda: plot_reconstructions(
                     handle, x_test,
                     os.path.join(vis_dir, "reconstructions.png"), key=ekey))
-                safe_eval("interpolations", lambda: plot_interpolations(
+                stage("interpolations", lambda: plot_interpolations(
                     handle, x_test, y_test,
                     os.path.join(vis_dir, "interpolations.png"), key=ekey))
-                safe_eval("tsne", lambda: plot_latent_space(
+                stage("tsne", lambda: plot_latent_space(
                     handle, x_test, y_test,
                     os.path.join(vis_dir, "tsne.png"),
                     n_plot=min(1000, len(x_test)), key=ekey))
 
-                mean_vector_acc = safe_eval(
+                mean_vector_acc = stage(
                     "mean_vector_cosine",
                     lambda: evaluate_mean_vector_cosine(
                         handle, x_test, y_test,
@@ -275,9 +343,25 @@ def run(args):
                             max_per_class=1000, key=ekey),
                         key=ekey)[0],
                     default=0.0)
-                print(f"  mean vector cosine acc: {mean_vector_acc:.4f}")
-                agg_mvc.append(float(mean_vector_acc))
+                if not did_sub:
+                    print(f"  mean vector cosine acc: "
+                          f"{mean_vector_acc:.4f}")
+                    agg_mvc.append(float(mean_vector_acc))
 
+                if did_sub:
+                    bundle_cap_raw = sub_vsa.get(
+                        "bundle_cap", dict(EMPTY_CURVE))
+                    rf_results = {"role_filler_no_random_keys":
+                                  sub_vsa.get("role_filler",
+                                              dict(EMPTY_CURVE))}
+                    self_bind = {**EMPTY_BINDING,
+                                 **sub_vsa.get("self_binding_star", {})}
+                    self_bind_deconv = {
+                        **EMPTY_BINDING,
+                        **sub_vsa.get("self_binding_dagger", {})}
+                    mean_vector_acc = sub_metrics.get(
+                        "mean_vector_cosine_acc", 0.0)
+                    agg_mvc.append(float(mean_vector_acc))
                 role_filler_raw = rf_results.get(
                     "role_filler_no_random_keys", {})
                 trial_dir = ensure_dir(
@@ -383,6 +467,7 @@ def build_parser():
     parser.add_argument("--limit_train", type=int, default=None)
     parser.add_argument("--limit_test", type=int, default=None)
     parser.add_argument("--vsa_trials", type=int, default=20)
+    parser.add_argument("--eval_subprocess", action="store_true")
     return parser
 
 
