@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cliffordtpu.utils import stable_hash
 from cliffordtpu.vsa.ops import (
     bind,
     hrr_init,
@@ -133,7 +134,7 @@ def test_self_binding(
         ("Random Unitary", unitary_init, "tab:green", "v"),
     ]:
         bkeys = jax.random.split(
-            jax.random.fold_in(k_base, hash(bname) % 97), n_trials)
+            jax.random.fold_in(k_base, stable_hash(bname) % 97), n_trials)
         bvecs = jax.vmap(
             lambda kk: normalize_vectors(init_fn(kk, max_depth + 1, d))
         )(bkeys)  # (trials, M+1, d)

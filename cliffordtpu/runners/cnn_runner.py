@@ -49,7 +49,8 @@ from cliffordtpu.train.checkpoint import delete_checkpoint, save_checkpoint
 from cliffordtpu.train.loop import make_cnn_eval_step, make_cnn_train_step
 from cliffordtpu.train.schedules import cyclical_kl_beta
 from cliffordtpu.train.state import create_train_state
-from cliffordtpu.utils import CLASS_NAMES, WandbLogger, ensure_dir
+from cliffordtpu.utils import (CLASS_NAMES, WandbLogger, ensure_dir,
+                               stable_hash)
 from cliffordtpu.vsa.capacity import (
     test_binding_unbinding_pairs as vsa_binding_unbinding,
     test_bundle_capacity as vsa_bundle_capacity,
@@ -329,7 +330,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
 
                 run_key = jax.random.fold_in(
                     root_key,
-                    hash((latent_dim, dist_name, trial_num)) % (2**31))
+                    stable_hash(latent_dim, dist_name, trial_num) % (2**31))
                 args.cur_lr = dist_lr.get(dist_name, args.lr)
                 model = build_model(args, dist_name, latent_dim, in_channels)
                 args._actual_dist = model.distribution
@@ -358,7 +359,7 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 def stage(label, fn, default=None):
                     if did_sub:
                         return default
-                    return stage(label, fn, default)
+                    return safe_eval(label, fn, default)
 
                 eval_ctx, eval_dev = _eval_context()
                 eval_ctx.__enter__()

@@ -23,6 +23,17 @@ def ensure_dir(path: str) -> str:
     return path
 
 
+def stable_hash(*parts) -> int:
+    """Deterministic 32-bit digest of the stringified parts.
+
+    Python's ``hash()`` is salted per process for strings, so using it to
+    derive RNG folds breaks ``--seed`` reproducibility across invocations;
+    crc32 is stable everywhere."""
+    import zlib
+
+    return zlib.crc32("-".join(map(str, parts)).encode())
+
+
 def set_global_seeds(seed: int):
     """Seed numpy (host-side shuffles/sklearn) and return a JAX root key.
 

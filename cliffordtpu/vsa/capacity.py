@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cliffordtpu.utils import stable_hash
 from cliffordtpu.vsa.ops import (
     bind,
     bundle,
@@ -219,7 +220,7 @@ def _plot_capacity_curve(results, k_range, d, n_items, normalize, *,
     bd = baseline_d if baseline_d is not None else d
     baselines = {}
     for bname, init_fn in [("HRR", hrr_init), ("unitary", unitary_init)]:
-        bkey = jax.random.fold_in(key, hash(bname) % 1000)
+        bkey = jax.random.fold_in(key, stable_hash(bname) % 1000)
         bvecs = init_fn(bkey, n_items, bd)
         if kind == "bundle":
             b_res = test_bundle_capacity(

@@ -75,6 +75,22 @@ def main():
                    help="role-filler with roles drawn from the item memory "
                         "(the MNIST runners' variant) instead of random "
                         "unitary keys")
+    # item-memory protocol: must match the calling runner's in-process
+    # battery or the VSA metrics are not comparable (for clifford latents
+    # the two sources even differ in dimensionality: d posterior-mean
+    # angles vs 2d torus-embedded samples).
+    p.add_argument("--item_memory", choices=["sampled", "means"],
+                   default="sampled",
+                   help="'sampled': flat sampled latents, n=1000, baselines "
+                        "at the raw latent dim (CNN runners, "
+                        "fashion_train.py:909-925); 'means': posterior "
+                        "means, n=500 (MNIST runners, mnist_clifpws.py:364-376)")
+    p.add_argument("--n_mem", type=int, default=None,
+                   help="item-memory size cap (default: 1000 for sampled, "
+                        "500 for means)")
+    p.add_argument("--per_class_trials", type=int, default=None,
+                   help="trials for the per-class bundle test (default: 1 "
+                        "for sampled, 2 for means)")
     args = p.parse_args()
 
     from cliffordtpu.data import load_dataset
@@ -127,9 +143,21 @@ def main():
     outdir = ensure_dir(args.outdir)
     key = jax.random.PRNGKey(args.seed)
 
-    n_mem = min(1000, len(x_test))
-    item_memory, item_labels = handle.collect_flat_z(
-        x_test, y_test, key, limit=n_mem)
+    use_means = args.item_memory == "means"
+    n_mem = min(args.n_mem or (500 if use_means else 1000), len(x_test))
+    per_class_trials = args.per_class_trials or (2 if use_means else 1)
+    if use_means:
+        item_memory = handle.latent_mu(x_test[:n_mem], key)
+        item_labels = y_test[:n_mem]
+        # means protocol: baselines live at the memory's own dimension
+        # (mnist_clifpws.py passes no baseline_d)
+        baseline_d = int(item_memory.shape[-1])
+        per_class_d = int(item_memory.shape[-1])
+    else:
+        item_memory, item_labels = handle.collect_flat_z(
+            x_test, y_test, key, limit=n_mem)
+        baseline_d = handle.latent_dim
+        per_class_d = handle.latent_dim
 
     results = {}
     fourier_star = safe_eval(
@@ -151,7 +179,7 @@ def main():
             d=item_memory.shape[-1], n_items=n_mem,
             n_trials=args.vsa_trials, plot=not args.skip_plots,
             save_dir=outdir, item_memory=item_memory,
-            baseline_d=handle.latent_dim, key=key),
+            baseline_d=baseline_d, key=key),
         default=dict(EMPTY_CURVE))
     role_filler = safe_eval(
         "role_filler",
@@ -160,12 +188,15 @@ def main():
             n_trials=args.vsa_trials, plot=not args.skip_plots,
             save_dir=outdir, item_memory=item_memory,
             bind_with_random=not args.rf_no_random_keys,
-            baseline_d=handle.latent_dim, key=key),
+            baseline_d=baseline_d, key=key),
         default=dict(EMPTY_CURVE))
     safe_eval("per_class", lambda: test_per_class_bundle_capacity_k_items(
-        d=handle.latent_dim, n_items=n_mem, n_classes=10, items_per_class=1,
+        d=per_class_d, n_items=n_mem, n_classes=10, items_per_class=1,
+        n_trials=per_class_trials,
         plot=not args.skip_plots, save_dir=outdir, item_memory=item_memory,
-        labels=jnp.asarray(item_labels), item_images=x_test[:n_mem],
+        labels=jnp.asarray(item_labels),
+        item_images=(x_test[:n_mem] * 2 - 1 if use_means
+                     else x_test[:n_mem]),
         class_names=class_names, key=key))
     safe_eval("pairwise", lambda: test_pairwise_bind_bundle_decode(
         handle, x_test[:500], y_test[:500], outdir, img_shape=img_shape,

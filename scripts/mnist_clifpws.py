@@ -56,7 +56,7 @@ from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
-from cliffordtpu.utils import WandbLogger, ensure_dir
+from cliffordtpu.utils import WandbLogger, ensure_dir, stable_hash
 from cliffordtpu.vsa.capacity import (
     test_binding_unbinding_pairs as vsa_binding_unbinding,
     test_bundle_capacity as vsa_bundle_capacity,
@@ -106,7 +106,11 @@ def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
                "--latent_dim", str(latent_dim),
                "--dataset", "mnist", "--img_size", "28",
                "--outdir", outdir,
-               "--vsa_trials", str(args.vsa_trials)]
+               "--vsa_trials", str(args.vsa_trials),
+               # MNIST item-memory protocol: posterior means, n=500
+               # (mnist_clifpws.py:364-376 analogue) — keeps subprocess
+               # VSA metrics comparable with the in-process battery
+               "--item_memory", "means"]
         if l2_normalize:
             cmd += ["--l2_normalize"]
         if rf_no_random_keys:
@@ -198,7 +202,7 @@ def run(args):
                 run_start_time = time.time()
                 run_key = jax.random.fold_in(
                     jax.random.fold_in(root_key, mdim * 1000 + run_i),
-                    hash(dist) % 100_000)
+                    stable_hash(dist) % 100_000)
                 if logger.use:
                     logger.start_run(f"{dist}-d{mdim}-run{run_i + 1}", args)
 

@@ -96,7 +96,9 @@ def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
                "--latent_dim", str(latent_dim),
                "--dataset", "mnist", "--img_size", "28",
                "--outdir", outdir,
-               "--vsa_trials", str(args.vsa_trials)]
+               "--vsa_trials", str(args.vsa_trials),
+               # MNIST item-memory protocol: posterior means, n=500
+               "--item_memory", "means"]
         if l2_normalize:
             cmd += ["--l2_normalize"]
         if rf_no_random_keys:
