@@ -49,20 +49,52 @@ def _random_conv_features(images: jnp.ndarray, key) -> jnp.ndarray:
     return jnp.concatenate([mean_pool, max_pool], -1)
 
 
+def _sqrtm_psd(c: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigendecomposition.  Unlike generic
+    ``scipy.linalg.sqrtm`` this stays finite on the rank-deficient
+    covariances that small sample counts produce."""
+    w, v = np.linalg.eigh((c + c.T) / 2.0)
+    return (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+
+
 def _frechet(mu1, cov1, mu2, cov2) -> float:
     """||mu1-mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^(1/2)) via symmetric eig."""
-    import scipy.linalg
-
     diff = mu1 - mu2
     # sqrtm(C1 C2) trace == sum sqrt eig(C1^(1/2) C2 C1^(1/2))
-    s1 = scipy.linalg.sqrtm(cov1).real
+    s1 = _sqrtm_psd(cov1)
     inner = s1 @ cov2 @ s1
     eigs = np.linalg.eigvalsh((inner + inner.T) / 2.0)
     tr_sqrt = np.sum(np.sqrt(np.clip(eigs, 0, None)))
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * tr_sqrt)
 
 
+_INCEPTION_CACHE: dict = {}
+
+
 def _get_features(images01: np.ndarray, extractor: str, batch: int = 256):
+    """Dispatch on ``extractor``.  The label returned by ``compute_fid``
+    must always match the computation that actually ran, so unknown
+    extractors and a missing inception weights path are hard errors —
+    never a silent surrogate."""
+    if extractor == "inception":
+        from cliffordtpu.eval.inception import (
+            inception_features,
+            load_inception_params,
+        )
+
+        path = os.environ.get("CLIFFORDTPU_INCEPTION")
+        if not path:
+            raise RuntimeError(
+                "feature_extractor='inception' requires "
+                "$CLIFFORDTPU_INCEPTION to point at an InceptionV3 "
+                "state-dict npz (see cliffordtpu/eval/inception.py)")
+        if path not in _INCEPTION_CACHE:
+            _INCEPTION_CACHE.clear()
+            _INCEPTION_CACHE[path] = load_inception_params(path)
+        return inception_features(images01, _INCEPTION_CACHE[path],
+                                  batch=min(batch, 32))
+    if extractor != "random_conv":
+        raise ValueError(f"unknown feature extractor {extractor!r}")
     feats = []
     key = jax.random.PRNGKey(42)
     for s in range(0, len(images01), batch):

@@ -212,8 +212,12 @@ def main():
         handle, x_test, y_test,
         compute_class_means(handle, x_train[:5000], y_train[:5000], key=key),
         key=key)[0], default=0.0)
+    # compute_fid consumes image-shaped batches; the mlp arch keeps x_test
+    # flat for the rest of the battery
+    x_test_img = x_test.reshape(len(x_test), args.img_size, args.img_size,
+                                in_channels)
     fid_res = safe_eval("fid", lambda: compute_fid(
-        handle, x_test, handle.distribution, handle.latent_dim,
+        handle, x_test_img, handle.distribution, handle.latent_dim,
         in_channels=in_channels,
         n_samples=min(args.fid_samples, len(x_test)), key=key),
         default={"fid": float("nan"), "fid_features": "failed"})
