@@ -33,25 +33,13 @@ from cliffordtpu.distributions import kl_divergence
 
 def _copy_weights(tm, params, distribution):
     """torch state_dict -> flax params (kernel = weight.T)."""
-    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-    new = jax.tree_util.tree_map(lambda a: a, params)
+    from cliffordtpu.utils.torch_interop import (
+        copy_mlp_weights,
+        torch_state_dict_to_numpy,
+    )
 
-    def set_dense(flax_name, torch_prefix):
-        new[flax_name]["kernel"] = jnp.asarray(sd[f"{torch_prefix}.weight"].T)
-        new[flax_name]["bias"] = jnp.asarray(sd[f"{torch_prefix}.bias"])
-
-    new = {k: dict(v) for k, v in params.items()}
-    set_dense("enc1", "encoder.0")
-    set_dense("enc2", "encoder.2")
-    set_dense("fc_mean", "fc_mean")
-    if distribution == "normal":
-        set_dense("fc_var", "fc_var")
-    else:
-        set_dense("fc_scale", "fc_scale")
-    set_dense("dec1", "decoder.0")
-    set_dense("dec2", "decoder.2")
-    set_dense("dec3", "decoder.4")
-    return new
+    return copy_mlp_weights(torch_state_dict_to_numpy(tm), params,
+                            distribution)
 
 
 @pytest.mark.parametrize("dist", ["normal", "powerspherical", "vmf",
