@@ -46,7 +46,12 @@ from cliffordtpu.eval.tables import (
 from cliffordtpu.nn import CNNVAE, CliffordARVAE, HybridVAE
 from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.checkpoint import delete_checkpoint, save_checkpoint
-from cliffordtpu.train.loop import make_cnn_eval_step, make_cnn_train_step
+from cliffordtpu.train.loop import (
+    make_cnn_epoch_step,
+    make_cnn_eval_step,
+    make_cnn_train_step,
+    stack_epoch_batches,
+)
 from cliffordtpu.train.schedules import cyclical_kl_beta
 from cliffordtpu.train.state import create_train_state
 from cliffordtpu.utils import (CLASS_NAMES, WandbLogger, ensure_dir,
@@ -186,7 +191,9 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
         run_key, model, jnp.asarray(x_train[:2]), optimizer="adamw",
         lr=args.cur_lr, clip_norm=1.0,
         sigma_lr_scale=0.1 if args.use_learnable_beta else None)
-    train_step = make_cnn_train_step(model)
+    use_scan = bool(getattr(args, "scan_epochs", False))
+    train_step = None if use_scan else make_cnn_train_step(model)
+    epoch_step = make_cnn_epoch_step(model) if use_scan else None
     eval_step = make_cnn_eval_step(model)
 
     n = len(x_train)
@@ -202,17 +209,28 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
         beta_arr = jnp.float32(beta)
         ekey = jax.random.fold_in(run_key, epoch + 1)
         perm = np.asarray(jax.random.permutation(ekey, n))
-        tr_dev = None
-        for s in range(steps):
-            xb = jnp.asarray(
-                x_train[perm[s * args.batch_size:(s + 1) * args.batch_size]])
-            state, losses = train_step(
-                state, xb, jax.random.fold_in(ekey, s + 1), beta_arr)
-            cur = (losses["total_loss"], losses["recon_loss"],
-                   losses["kld_loss"])
-            # device-side accumulation: one transfer per epoch
-            tr_dev = cur if tr_dev is None else tuple(
-                a + b for a, b in zip(tr_dev, cur))
+        if use_scan:
+            # --scan_epochs: one XLA program per epoch (lax.scan over the
+            # minibatch axis); same key stream as the per-step path
+            batches = stack_epoch_batches(x_train, perm, steps,
+                                          args.batch_size)
+            state, ep_losses = epoch_step(state, batches, ekey, beta_arr)
+            tr_dev = (ep_losses["total_loss"].sum(),
+                      ep_losses["recon_loss"].sum(),
+                      ep_losses["kld_loss"].sum())
+        else:
+            tr_dev = None
+            for s in range(steps):
+                xb = jnp.asarray(
+                    x_train[perm[s * args.batch_size:
+                                 (s + 1) * args.batch_size]])
+                state, losses = train_step(
+                    state, xb, jax.random.fold_in(ekey, s + 1), beta_arr)
+                cur = (losses["total_loss"], losses["recon_loss"],
+                       losses["kld_loss"])
+                # device-side accumulation: one transfer per epoch
+                tr_dev = cur if tr_dev is None else tuple(
+                    a + b for a, b in zip(tr_dev, cur))
         tr = {"total": float(tr_dev[0]), "recon": float(tr_dev[1]),
               "kld": float(tr_dev[2])}
 

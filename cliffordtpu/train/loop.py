@@ -121,9 +121,16 @@ def fit(
     beta_fn: Callable[[int], float],
     patience: int = 50,
     log_fn: Optional[Callable[[int, Dict], None]] = None,
+    epoch_step=None,
 ) -> Tuple[object, Dict]:
     """Epoch loop with val early-stopping and best-params restore
-    (``mnist/mnist_clifpws.py:268-318`` semantics)."""
+    (``mnist/mnist_clifpws.py:268-318`` semantics).
+
+    ``epoch_step`` (from ``make_mlp_epoch_step``): run each epoch as ONE
+    scanned XLA program instead of a per-step Python loop — on a slow host
+    per-step dispatch dominates (~20 ms host vs ~2 ms device on v5e), so
+    this recovers device-bound throughput.  Same key stream as the
+    per-step path, so losses match (``test_train.py``)."""
     n = x_train.shape[0]
     steps = max(1, n // batch_size)
     best_val = float("inf")
@@ -137,15 +144,21 @@ def fit(
         ekey = jax.random.fold_in(key, epoch)
         perm = np.asarray(jax.random.permutation(
             jax.random.fold_in(ekey, 0), n))
-        ep_loss_dev = None
-        for s in range(steps):
-            xb = jnp.asarray(x_train[perm[s * batch_size:(s + 1) * batch_size]])
-            skey = jax.random.fold_in(ekey, s + 1)
-            state, losses = train_step(state, xb, skey, beta)
-            # accumulate on device: one D2H transfer per epoch, not per step
-            ep_loss_dev = (losses["total"] if ep_loss_dev is None
-                           else ep_loss_dev + losses["total"])
-        ep_loss = float(ep_loss_dev) / steps
+        if epoch_step is not None:
+            batches = stack_epoch_batches(x_train, perm, steps, batch_size)
+            state, ep_losses = epoch_step(state, batches, ekey, beta)
+            ep_loss = float(ep_losses["total"].mean())
+        else:
+            ep_loss_dev = None
+            for s in range(steps):
+                xb = jnp.asarray(
+                    x_train[perm[s * batch_size:(s + 1) * batch_size]])
+                skey = jax.random.fold_in(ekey, s + 1)
+                state, losses = train_step(state, xb, skey, beta)
+                # accumulate on device: one D2H transfer per epoch
+                ep_loss_dev = (losses["total"] if ep_loss_dev is None
+                               else ep_loss_dev + losses["total"])
+            ep_loss = float(ep_loss_dev) / steps
 
         # validation
         vkey = jax.random.fold_in(ekey, 10_000)
@@ -192,7 +205,9 @@ def make_mlp_epoch_step(model, binarize: bool = True):
     def epoch_step(state, batches, key, beta):
         def body(state, inp):
             i, xb = inp
-            skey = jax.random.fold_in(key, i)
+            # fold i+1: the exact key stream of the per-step path in
+            # fit() (skey = fold_in(ekey, s+1)), so scan == loop
+            skey = jax.random.fold_in(key, i + 1)
             k_bin, k_sample = jax.random.split(skey)
             if binarize:
                 xb = binarize_with_random_threshold(k_bin, xb)
@@ -202,15 +217,15 @@ def make_mlp_epoch_step(model, binarize: bool = True):
                     {"params": params}, xb, rngs={"sample": k_sample}
                 )
                 losses = vae_loss_from_outputs(xb, outputs, beta)
-                return losses["total"], losses["total"]
+                return losses["total"], losses
 
-            grads, loss = jax.grad(loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), losses
 
         S = batches.shape[0]
         state, losses = jax.lax.scan(
             body, state, (jnp.arange(S), batches))
-        return state, losses
+        return state, losses  # losses: dict of (S,) arrays
 
     return epoch_step
 
@@ -223,7 +238,9 @@ def make_cnn_epoch_step(model):
     def epoch_step(state, batches, key, beta):
         def body(state, inp):
             i, xb = inp
-            skey = jax.random.fold_in(key, i)
+            # fold i+1: the exact key stream of the per-step path in
+            # cnn_runner.train_model (fold_in(ekey, s+1)), so scan == loop
+            skey = jax.random.fold_in(key, i + 1)
 
             def loss_fn(params):
                 x_recon, q_z, p_z, _ = model.apply(
@@ -240,14 +257,24 @@ def make_cnn_epoch_step(model):
                     recon_loss_type=model.recon_loss_type,
                     l1_weight=model.l1_weight, sigmas=sigmas,
                 )
-                return losses["total_loss"], losses["total_loss"]
+                return losses["total_loss"], losses
 
-            grads, loss = jax.grad(loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), losses
 
         S = batches.shape[0]
         state, losses = jax.lax.scan(
             body, state, (jnp.arange(S), batches))
-        return state, losses
+        return state, losses  # losses: dict of (S,) arrays
 
     return epoch_step
+
+
+def stack_epoch_batches(x_train, perm, steps: int, batch_size: int):
+    """(S*B indices) -> (S, B, ...) device-ready stack for an epoch scan.
+
+    The tail (n % batch_size) is dropped, exactly like the per-step paths
+    (steps = n // batch_size)."""
+    idx = perm[:steps * batch_size]
+    return jnp.asarray(
+        x_train[idx].reshape(steps, batch_size, *x_train.shape[1:]))

@@ -59,6 +59,9 @@ def build_parser():
     p.add_argument("--eval_subprocess", action="store_true",
                    help="run the eval battery in a fresh CPU-only process "
                         "(recommended on the axon TPU; see CLAUDE.md)")
+    p.add_argument("--scan_epochs", action="store_true",
+                   help="compile each training epoch as ONE lax.scan "
+                        "program (device-bound throughput on slow hosts)")
     return p
 
 

@@ -53,7 +53,12 @@ from cliffordtpu.eval.plots import (
 from cliffordtpu.nn import MLPVAE
 from cliffordtpu.nn.losses import compute_test_metrics
 from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
-from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
+from cliffordtpu.train.loop import (
+    fit,
+    make_mlp_epoch_step,
+    make_mlp_eval_step,
+    make_mlp_train_step,
+)
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
 from cliffordtpu.utils import WandbLogger, ensure_dir, stable_hash
@@ -216,6 +221,8 @@ def run(args):
 
                 train_step = make_mlp_train_step(model)
                 eval_step = make_mlp_eval_step(model)
+                epoch_step = (make_mlp_epoch_step(model)
+                              if args.scan_epochs else None)
 
                 train_start_time = time.time()
                 state, history = fit(
@@ -227,6 +234,7 @@ def run(args):
                     patience=args.patience if args.patience > 0 else 10**9,
                     log_fn=(lambda e, m: logger.log_metrics(
                         {"epoch": e, **m})) if logger.use else None,
+                    epoch_step=epoch_step,
                 )
                 best_val_loss = history["best_val"]
                 train_time = time.time() - train_start_time
@@ -558,6 +566,10 @@ def build_parser():
     parser.add_argument("--eval_subprocess", action="store_true",
                         help="run the VSA/kNN battery in a fresh CPU-only "
                              "process (recommended on the axon TPU)")
+    parser.add_argument("--scan_epochs", action="store_true",
+                        help="compile each training epoch as ONE lax.scan "
+                             "program (device-bound throughput on slow "
+                             "hosts; same losses as the per-step path)")
     return parser
 
 

@@ -46,7 +46,12 @@ from cliffordtpu.eval.plots import (
 from cliffordtpu.nn import MLPVAE
 from cliffordtpu.nn.losses import compute_test_metrics
 from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
-from cliffordtpu.train.loop import fit, make_mlp_eval_step, make_mlp_train_step
+from cliffordtpu.train.loop import (
+    fit,
+    make_mlp_epoch_step,
+    make_mlp_eval_step,
+    make_mlp_train_step,
+)
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
 from cliffordtpu.utils import WandbLogger, ensure_dir
@@ -197,6 +202,8 @@ def run(args):
                 patience=args.patience if args.patience > 0 else 10**9,
                 log_fn=(lambda e, m: logger.log_metrics({"epoch": e, **m}))
                 if logger.use else None,
+                epoch_step=(make_mlp_epoch_step(model)
+                            if getattr(args, "scan_epochs", False) else None),
             )
             best_val_loss = history["best_val"]
             train_time = time.time() - train_start_time
@@ -470,6 +477,7 @@ def build_parser():
     parser.add_argument("--limit_test", type=int, default=None)
     parser.add_argument("--vsa_trials", type=int, default=20)
     parser.add_argument("--eval_subprocess", action="store_true")
+    parser.add_argument("--scan_epochs", action="store_true")
     return parser
 
 

@@ -83,3 +83,75 @@ def test_nan_guard():
     assert nan_guard(1.0) == 1.0
     with pytest.raises(NaNLossError):
         nan_guard(float("nan"), "in test")
+
+
+def test_mlp_epoch_scan_matches_per_step_fit():
+    """fit(epoch_step=...) must produce the same training trajectory as the
+    per-step path: the epoch body replays the identical key stream."""
+    from cliffordtpu.train.loop import make_mlp_epoch_step
+
+    x = np.random.default_rng(1).uniform(0, 1, (96, 784)).astype(np.float32)
+
+    def run(use_scan):
+        model, state = _setup()
+        return fit(
+            state, make_mlp_train_step(model), make_mlp_eval_step(model),
+            KEY, x[:64], x[64:], epochs=2, batch_size=16,
+            beta_fn=lambda e: 0.5,
+            epoch_step=make_mlp_epoch_step(model) if use_scan else None,
+        )
+
+    state_a, hist_a = run(False)
+    state_b, hist_b = run(True)
+    np.testing.assert_allclose(hist_a["train_loss"], hist_b["train_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(hist_a["val_loss"], hist_b["val_loss"],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_cnn_epoch_scan_matches_per_step():
+    """make_cnn_epoch_step == looped make_cnn_train_step on the same keys."""
+    from cliffordtpu.nn import CNNVAE
+    from cliffordtpu.train.loop import (
+        make_cnn_epoch_step,
+        make_cnn_train_step,
+        stack_epoch_batches,
+    )
+
+    model = CNNVAE(latent_dim=8, in_channels=1, distribution="clifford",
+                   img_size=32)
+    x = np.random.default_rng(2).uniform(
+        -1, 1, (24, 32, 32, 1)).astype(np.float32)
+    beta = jnp.float32(0.7)
+    ekey = jax.random.fold_in(KEY, 1)
+    perm = np.arange(24)
+    steps, bs = 3, 8
+
+    state_a = create_train_state(KEY, model, jnp.asarray(x[:2]),
+                                 optimizer="adamw", lr=1e-3, clip_norm=1.0)
+    step = make_cnn_train_step(model)
+    per_step_losses = []
+    for s in range(steps):
+        xb = jnp.asarray(x[perm[s * bs:(s + 1) * bs]])
+        state_a, losses = step(state_a, xb,
+                               jax.random.fold_in(ekey, s + 1), beta)
+        per_step_losses.append(float(losses["total_loss"]))
+
+    state_b = create_train_state(KEY, model, jnp.asarray(x[:2]),
+                                 optimizer="adamw", lr=1e-3, clip_norm=1.0)
+    epoch_step = make_cnn_epoch_step(model)
+    batches = stack_epoch_batches(x, perm, steps, bs)
+    state_b, ep_losses = epoch_step(state_b, batches, ekey, beta)
+
+    np.testing.assert_allclose(per_step_losses,
+                               np.asarray(ep_losses["total_loss"]),
+                               rtol=1e-5)
+    # scan vs loop fuse differently in XLA -> last-ulp float noise
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
