@@ -1,14 +1,24 @@
-"""Benchmark harness: flagship train-step throughput on the real TPU chip.
+"""Benchmark harness: train-step throughput on the real TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
 
-* metric: CliffordARVAE (32 px default config, clifford latent) training
-  steps/sec at batch 64 — the hot path of ``cnn/fashion_train.py --arch vit``.
-* baseline: the PyTorch reference model (cnn/cliffordar_model.py) doing the
-  same step on CPU.  Measured once and cached in ``bench_baseline.json``
-  (re-measure with --remeasure-baseline); the north-star target is >= 5x
-  (BASELINE.json), reported as ``vs_baseline``.
+Configs (``--config``; default matches the driver contract):
+* ``flagship32`` — CliffordARVAE 32 px default config, clifford latent,
+  batch 64: the hot path of ``cnn/fashion_train.py --arch vit``.
+* ``flagship256`` — the ~75M-param 256 px CliffordAR preset
+  (``cnn/cliffordar_model.py:321-340``), batch 8.
+* ``cnn4096`` — CNNVAE at latent 4096 (largest ``fashion_train.py`` sweep
+  point), where the clifford torus matmul is 4095x8192.
+
+``--batch`` overrides the batch size (metric name reflects it); ``--batch_sweep``
+measures 64/128/256/512 at the chosen config and writes
+``artifacts/bench_batch_scaling.json`` (stdout still carries one JSON line,
+for the default batch).
+
+Baselines: the PyTorch reference model doing the same step on CPU, measured
+once per config and cached in ``bench_baseline.json``
+(``--remeasure-baseline``).  North-star target >= 5x (BASELINE.json).
 
 All diagnostics go to stderr; stdout carries only the JSON line.
 """
@@ -21,24 +31,51 @@ import os
 import sys
 import time
 
-BATCH = 64
-IMG = 32
-LATENT = 16
 WARMUP_STEPS = 3
-MEASURE_STEPS = 30
-N_WINDOWS = 3
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 _PROFILE_DIR = None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CONFIGS = {
+    "flagship32": dict(model="vit", img=32, latent=16, in_ch=1, batch=64,
+                       measure_steps=30, n_windows=3),
+    "flagship256": dict(model="vit", img=256, latent=16, in_ch=3, batch=8,
+                        measure_steps=10, n_windows=3),
+    "cnn4096": dict(model="cnn", img=32, latent=4096, in_ch=1, batch=64,
+                    measure_steps=30, n_windows=3),
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_jax(dtype: str = "bfloat16") -> float:
+def metric_name(cfg_name: str, cfg: dict, batch: int) -> str:
+    if cfg_name == "flagship32" and batch == 64:
+        return "cliffordar_vae_train_steps_per_sec_b64_32px"  # driver contract
+    prefix = ("cliffordar_vae" if cfg["model"] == "vit"
+              else f"cnnvae{cfg['latent']}")
+    return f"{prefix}_train_steps_per_sec_b{batch}_{cfg['img']}px"
+
+
+def build_jax_model(cfg: dict, dtype: str):
+    import jax.numpy as jnp
+
+    from cliffordtpu.nn import CliffordARVAE, CNNVAE
+
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if cfg["model"] == "vit":
+        return CliffordARVAE(
+            latent_dim=cfg["latent"], image_size=cfg["img"],
+            in_channels=cfg["in_ch"], distribution="clifford", dtype=jdt)
+    return CNNVAE(
+        latent_dim=cfg["latent"], in_channels=cfg["in_ch"],
+        distribution="clifford", img_size=cfg["img"], dtype=jdt)
+
+
+def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -54,26 +91,26 @@ def measure_jax(dtype: str = "bfloat16") -> float:
     except Exception as e:
         log(f"compile cache unavailable: {e}")
 
-    from cliffordtpu.nn import CliffordARVAE
     from cliffordtpu.train.loop import make_cnn_train_step
     from cliffordtpu.train.state import create_train_state
 
-    log(f"jax devices: {jax.devices()}, compute dtype: {dtype}")
-    model = CliffordARVAE(
-        latent_dim=LATENT, image_size=IMG, in_channels=1,
-        distribution="clifford",
-        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-    )
+    log(f"jax devices: {jax.devices()}, compute dtype: {dtype}, "
+        f"config: {cfg}, batch {batch}")
+    model = build_jax_model(cfg, dtype)
     key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, IMG, IMG, 1)) * 2.0 - 1.0
+    x = jax.random.uniform(
+        key, (batch, cfg["img"], cfg["img"], cfg["in_ch"])) * 2.0 - 1.0
     t0 = time.time()
     state = create_train_state(key, model, x[:2], optimizer="adamw", lr=1e-4)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    log(f"params: {n_params / 1e6:.1f}M")
     step = make_cnn_train_step(model)
     beta = jnp.float32(1.0)
     for i in range(WARMUP_STEPS):
         state, losses = step(state, x, jax.random.fold_in(key, i), beta)
     jax.block_until_ready(losses["total_loss"])
-    log(f"compile+warmup: {time.time() - t0:.1f}s, "
+    compile_s = time.time() - t0
+    log(f"compile+warmup: {compile_s:.1f}s, "
         f"loss {float(losses['total_loss']):.3f}")
 
     import contextlib
@@ -84,36 +121,45 @@ def measure_jax(dtype: str = "bfloat16") -> float:
     # (measured 2.5-22 ms/step for the same program); take the best of
     # several windows as the device-throughput estimate.
     best = 0.0
+    n_steps = cfg["measure_steps"]
     with prof:
-        for w in range(N_WINDOWS):
+        for w in range(cfg["n_windows"]):
             t0 = time.time()
-            for i in range(MEASURE_STEPS):
+            for i in range(n_steps):
                 state, losses = step(
                     state, x, jax.random.fold_in(key, 100 + w * 1000 + i),
                     beta)
             jax.block_until_ready(losses["total_loss"])
             dt = time.time() - t0
-            sps = MEASURE_STEPS / dt
-            log(f"jax window {w}: {MEASURE_STEPS} steps in {dt:.2f}s "
+            sps = n_steps / dt
+            log(f"jax window {w}: {n_steps} steps in {dt:.2f}s "
                 f"-> {sps:.3f} steps/s")
             best = max(best, sps)
-    return best
+    return {"steps_per_sec": best, "compile_warmup_s": compile_s,
+            "params_m": n_params / 1e6}
 
 
-def measure_torch_baseline(n_steps: int = 3) -> float:
-    """Reference CliffordARVAE train step on CPU (same config/batch)."""
+def measure_torch_baseline(cfg: dict, batch: int, n_steps: int = 3) -> float:
+    """Reference train step on CPU (same config/batch).  Models:
+    ``cnn/cliffordar_model.py`` CliffordARVAE / ``cnn/models.py`` VAE."""
     import torch
 
     sys.path.insert(0, "/root/reference")
-    from cnn.cliffordar_model import CliffordARVAE as TorchVAE
-
     torch.manual_seed(0)
-    model = TorchVAE(
-        latent_dim=LATENT, image_size=IMG, in_channels=1,
-        distribution="clifford", device="cpu",
-    )
+    if cfg["model"] == "vit":
+        from cnn.cliffordar_model import CliffordARVAE as TorchVAE
+
+        model = TorchVAE(
+            latent_dim=cfg["latent"], image_size=cfg["img"],
+            in_channels=cfg["in_ch"], distribution="clifford", device="cpu")
+    else:
+        from cnn.models import VAE as TorchCNN
+
+        model = TorchCNN(
+            latent_dim=cfg["latent"], in_channels=cfg["in_ch"],
+            distribution="clifford", device="cpu")
     opt = torch.optim.AdamW(model.parameters(), lr=1e-4)
-    x = torch.rand(BATCH, 1, IMG, IMG) * 2 - 1
+    x = torch.rand(batch, cfg["in_ch"], cfg["img"], cfg["img"]) * 2 - 1
     # one warmup step
     t_all = []
     for i in range(n_steps + 1):
@@ -131,31 +177,43 @@ def measure_torch_baseline(n_steps: int = 3) -> float:
     return sps
 
 
-def get_baseline(remeasure: bool = False) -> float:
-    if not remeasure and os.path.exists(BASELINE_FILE):
+def get_baseline(cfg_name: str, cfg: dict, batch: int,
+                 remeasure: bool = False):
+    data = {}
+    if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             data = json.load(f)
-        if data.get("batch") == BATCH and data.get("img") == IMG:
-            return data["torch_cpu_steps_per_sec"]
-    log("measuring torch CPU baseline ...")
-    sps = measure_torch_baseline()
+        if "torch_cpu_steps_per_sec" in data:  # legacy single-config format
+            data = {"flagship32": data}
+    entry = data.get(cfg_name)
+    if (not remeasure and entry and entry.get("batch") == batch
+            and entry.get("img") == cfg["img"]):
+        return entry["torch_cpu_steps_per_sec"]
+    log(f"measuring torch CPU baseline for {cfg_name} ...")
+    sps = measure_torch_baseline(cfg, batch,
+                                 n_steps=1 if cfg["img"] >= 256 else 3)
+    data[cfg_name] = {
+        "torch_cpu_steps_per_sec": sps,
+        "batch": batch,
+        "img": cfg["img"],
+        "latent": cfg["latent"],
+        "model": ("cnn/cliffordar_model.py CliffordARVAE"
+                  if cfg["model"] == "vit" else "cnn/models.py VAE"),
+        "hardware": "1-core CPU (reference runs on CPU per BASELINE.md)",
+    }
     with open(BASELINE_FILE, "w") as f:
-        json.dump(
-            {
-                "torch_cpu_steps_per_sec": sps,
-                "batch": BATCH,
-                "img": IMG,
-                "latent": LATENT,
-                "model": "cnn/cliffordar_model.py CliffordARVAE 32px clifford",
-                "hardware": "1-core CPU (reference runs on CPU per BASELINE.md)",
-            },
-            f, indent=2,
-        )
+        json.dump(data, f, indent=2)
     return sps
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="flagship32", choices=sorted(CONFIGS))
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the config's batch size")
+    ap.add_argument("--batch_sweep", action="store_true",
+                    help="measure batches 64..512 at this config; results "
+                         "to artifacts/bench_batch_scaling.json")
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
@@ -167,18 +225,42 @@ def main():
         global _PROFILE_DIR
         _PROFILE_DIR = args.profile
 
-    jax_sps = measure_jax(args.dtype)
+    cfg = dict(CONFIGS[args.config])
+    batch = args.batch or cfg["batch"]
+
+    if args.batch_sweep:
+        sweep = {}
+        for b in (64, 128, 256, 512):
+            res = measure_jax(cfg, b, args.dtype)
+            sweep[str(b)] = {**res,
+                             "steps_per_sec": round(res["steps_per_sec"], 3),
+                             "images_per_sec": round(
+                                 res["steps_per_sec"] * b, 1)}
+            log(f"batch {b}: {res['steps_per_sec']:.2f} steps/s = "
+                f"{res['steps_per_sec'] * b:.0f} img/s")
+        os.makedirs("artifacts", exist_ok=True)
+        out_path = os.path.join("artifacts", "bench_batch_scaling.json")
+        with open(out_path, "w") as f:
+            json.dump({"config": args.config, "dtype": args.dtype,
+                       "sweep": sweep}, f, indent=2)
+        log(f"wrote {out_path}")
+        jax_sps = sweep[str(batch)]["steps_per_sec"] if str(batch) in sweep \
+            else measure_jax(cfg, batch, args.dtype)["steps_per_sec"]
+    else:
+        jax_sps = measure_jax(cfg, batch, args.dtype)["steps_per_sec"]
+
     if args.skip_baseline:
         baseline = None
     else:
         try:
-            baseline = get_baseline(args.remeasure_baseline)
+            baseline = get_baseline(args.config, cfg, batch,
+                                    args.remeasure_baseline)
         except Exception as e:  # torch baseline is best-effort
             log(f"baseline measurement failed: {e}")
             baseline = None
 
     out = {
-        "metric": "cliffordar_vae_train_steps_per_sec_b64_32px",
+        "metric": metric_name(args.config, cfg, batch),
         "value": round(jax_sps, 4),
         "unit": "steps/s",
         "vs_baseline": round(jax_sps / baseline, 2) if baseline else None,

@@ -44,8 +44,6 @@ def marginal_t_sample(key, dim: int, scale, shape=()):
 
 def marginal_t_entropy(dim: int, scale):
     """H[marginal t] = H[Beta] + log 2 (``dists/clifford.py:136-137``)."""
-    from jax.scipy.special import digamma, gammaln
-
     a = (dim - 1) / 2.0 + scale + _EPS
     b = jnp.asarray((dim - 1) / 2.0)
     # Beta entropy: ln B(a,b) - (a-1)psi(a) - (b-1)psi(b) + (a+b-2)psi(a+b)

@@ -15,7 +15,7 @@ loss (l1|mse sum/B + beta*KL, optional learnable-beta L-VAE form) follows
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -42,30 +42,36 @@ def clifford_concentration_floor(latent_dim: int) -> float:
 
 class ResBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.out_ch, (4, 4), strides=(2, 2),
-                    padding=((1, 1), (1, 1)), kernel_init=_XAVIER)(x)
+                    padding=((1, 1), (1, 1)), kernel_init=_XAVIER,
+                    dtype=self.dtype)(x)
         h = nn.leaky_relu(h, 0.2)
         skip = x
         if x.shape[-1] != self.out_ch:
-            skip = nn.Conv(self.out_ch, (1, 1), kernel_init=_XAVIER)(skip)
+            skip = nn.Conv(self.out_ch, (1, 1), kernel_init=_XAVIER,
+                           dtype=self.dtype)(skip)
         skip = nn.avg_pool(skip, (2, 2), strides=(2, 2))
         return h + skip
 
 
 class ResUpBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.ConvTranspose(self.out_ch, (4, 4), strides=(2, 2),
-                             padding="SAME", kernel_init=_XAVIER)(x)
+                             padding="SAME", kernel_init=_XAVIER,
+                             dtype=self.dtype)(x)
         h = nn.leaky_relu(h, 0.2)
         skip = x
         if x.shape[-1] != self.out_ch:
-            skip = nn.Conv(self.out_ch, (1, 1), kernel_init=_XAVIER)(skip)
+            skip = nn.Conv(self.out_ch, (1, 1), kernel_init=_XAVIER,
+                           dtype=self.dtype)(skip)
         B, H, W, C = skip.shape
         skip = jax.image.resize(skip, (B, 2 * H, 2 * W, C), "nearest")
         return h + skip
@@ -79,13 +85,15 @@ class Encoder(nn.Module):
     l2_normalize: bool = False
     concentration_floor: float = 0.1
     img_size: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         chs = [64, 128, 256, 512, 512] if self.img_size == 64 else [64, 128, 256, 512]
         for ch in chs:
-            x = ResBlock(ch)(x)
-        x = x.reshape(x.shape[0], -1)  # 512*2*2
+            x = ResBlock(ch, dtype=self.dtype)(x)
+        # heads stay f32 (distribution numerics)
+        x = x.astype(jnp.float32).reshape(x.shape[0], -1)  # 512*2*2
         mu = nn.Dense(self.latent_dim, kernel_init=_XAVIER)(x)
         if self.distribution == "gaussian":
             if self.l2_normalize:
@@ -110,16 +118,19 @@ class Decoder(nn.Module):
 
     out_channels: int
     img_size: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
-        x = nn.Dense(512 * 2 * 2, kernel_init=_XAVIER)(z)
+        x = nn.Dense(512 * 2 * 2, kernel_init=_XAVIER, dtype=self.dtype)(z)
         x = x.reshape(z.shape[0], 2, 2, 512)
         chs = [512, 256, 128, 64] if self.img_size == 64 else [256, 128, 64]
         for ch in chs:
-            x = ResUpBlock(ch)(x)
+            x = ResUpBlock(ch, dtype=self.dtype)(x)
+        # output conv + tanh in f32 (recon loss numerics)
         x = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
-                             padding="SAME", kernel_init=_XAVIER)(x)
+                             padding="SAME", kernel_init=_XAVIER)(
+            x.astype(jnp.float32))
         return nn.tanh(x)
 
 
@@ -135,6 +146,8 @@ class CNNVAE(nn.Module):
     concentration_floor: float = 0.05
     img_size: int = 32
     use_learnable_beta: bool = False
+    dtype: Any = jnp.float32  # compute dtype for conv stacks (bf16 for TPU
+    # throughput; heads, sampling and loss stay f32)
 
     def setup(self):
         floor = self.concentration_floor
@@ -147,8 +160,10 @@ class CNNVAE(nn.Module):
             l2_normalize=self.l2_normalize,
             concentration_floor=floor,
             img_size=self.img_size,
+            dtype=self.dtype,
         )
-        self.decoder = Decoder(self.in_channels, img_size=self.img_size)
+        self.decoder = Decoder(self.in_channels, img_size=self.img_size,
+                               dtype=self.dtype)
         if self.use_learnable_beta:
             self.log_sigma_0 = self.param(
                 "log_sigma_0", nn.initializers.zeros, (1,))

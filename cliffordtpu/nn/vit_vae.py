@@ -221,7 +221,9 @@ class ViTEncoder(nn.Module):
                     dtype=self.dtype)(image)
         for ch in self.cnn_chs[1:]:
             x = ResDownBlock(ch, dtype=self.dtype)(x)
-        x = x.astype(jnp.float32)
+        # token/residual stream stays in the compute dtype (bf16 on TPU);
+        # norms compute statistics in f32 internally, heads cast back up
+        x = x.astype(self.dtype)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
 
@@ -231,7 +233,8 @@ class ViTEncoder(nn.Module):
             (self.register_tokens, self.d_model),
         )
         x = jnp.concatenate(
-            [jnp.broadcast_to(reg[None], (B,) + reg.shape), x], axis=1
+            [jnp.broadcast_to(reg[None].astype(x.dtype), (B,) + reg.shape),
+             x], axis=1
         )
         grid = self.image_size // self.patch_size
         cos_np, sin_np = rope_2d_cos_sin(
@@ -242,7 +245,7 @@ class ViTEncoder(nn.Module):
         for _ in range(self.n_layers):
             x = TransformerBlock(self.d_model, self.n_heads,
                                  dtype=self.dtype)(x, cos, sin)
-        x = x[:, self.register_tokens:, :]
+        x = x[:, self.register_tokens:, :].astype(jnp.float32)
         x = nn.RMSNorm(epsilon=1e-6)(x)
         return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(x)
 
@@ -265,7 +268,7 @@ class ViTDecoder(nn.Module):
         h = x.reshape(B, g, g, C)
         h = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_XAVIER)(h)
-        x = h.reshape(B, T, self.d_model)
+        x = h.reshape(B, T, self.d_model).astype(self.dtype)
 
         reg = self.param(
             "register_token",
@@ -273,7 +276,8 @@ class ViTDecoder(nn.Module):
             (self.register_tokens, self.d_model),
         )
         x = jnp.concatenate(
-            [jnp.broadcast_to(reg[None], (B,) + reg.shape), x], axis=1
+            [jnp.broadcast_to(reg[None].astype(x.dtype), (B,) + reg.shape),
+             x], axis=1
         )
         grid = self.image_size // self.patch_size
         cos_np, sin_np = rope_2d_cos_sin(

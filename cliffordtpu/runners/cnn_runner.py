@@ -336,7 +336,9 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
             for trial in range(args.n_trials):
                 trial_num = trial + args.start_trial
                 trial_suffix = (f"-trial{trial_num}"
-                                if (args.n_trials > 1 or args.start_trial > 1)
+                                if (args.n_trials > 1 or args.start_trial > 1
+                                    or getattr(args, "force_trial_suffix",
+                                               False))
                                 else "")
                 exp_name = (f"{dataset_name}-{dist_name}-d{latent_dim}-"
                             f"{args.recon_loss}{trial_suffix}")

@@ -67,6 +67,10 @@ def build_parser():
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts; "
                         "same losses as the per-step path)")
+    p.add_argument("--force_trial_suffix", action="store_true",
+                   help="always append -trial{n} to artifact names (used by "
+                        "scripts/sweep.py so a shelled single-trial process "
+                        "names artifacts like the in-process sweep)")
     return p
 
 

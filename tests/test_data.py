@@ -105,3 +105,73 @@ def test_idx_ingestion(tmp_path, monkeypatch):
     np.testing.assert_array_equal(ds["y_train"], ytr)
     np.testing.assert_allclose(ds["x_test"][..., 0], xte / 255.0, atol=1e-6)
     np.testing.assert_array_equal(ds["y_test"], yte)
+
+
+def _idx_img_bytes(a):
+    import struct
+
+    return (struct.pack(">HBB", 0, 8, a.ndim)
+            + struct.pack(">" + "I" * a.ndim, *a.shape) + a.tobytes())
+
+
+def test_fashion_idx_ingestion_torchvision_layout(tmp_path, monkeypatch):
+    """FashionMNIST idx files under torchvision's FashionMNIST/raw layout
+    load for real, with the reference's 28->32 resize + [-1,1] normalize
+    (``cnn/fashion_train.py:712-716``)."""
+    import gzip
+
+    d = tmp_path / "FashionMNIST" / "raw"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    xtr = rng.integers(0, 256, (20, 28, 28), dtype=np.uint8)
+    ytr = rng.integers(0, 10, 20).astype(np.uint8)
+    xte = rng.integers(0, 256, (8, 28, 28), dtype=np.uint8)
+    yte = rng.integers(0, 10, 8).astype(np.uint8)
+    for name, arr in [("train-images-idx3-ubyte", xtr),
+                      ("t10k-images-idx3-ubyte", xte)]:
+        with gzip.open(d / f"{name}.gz", "wb") as f:
+            f.write(_idx_img_bytes(arr))
+    for name, arr in [("train-labels-idx1-ubyte", ytr),
+                      ("t10k-labels-idx1-ubyte", yte)]:
+        (d / name).write_bytes(_idx_img_bytes(arr))
+
+    monkeypatch.setenv("CLIFFORDTPU_DATA_DIR", str(tmp_path))
+    ds = load_dataset("fashionmnist")
+    assert ds["source"] == "real"
+    assert ds["x_train"].shape == (20, 32, 32, 1)
+    expected = np.asarray(jax.image.resize(
+        jnp.asarray(xtr[..., None] / 255.0, jnp.float32),
+        (20, 32, 32, 1), method="bilinear")) * 2.0 - 1.0
+    np.testing.assert_allclose(ds["x_train"], expected, atol=1e-6)
+    np.testing.assert_array_equal(ds["y_test"], yte)
+    assert ds["x_test"].min() >= -1.0 and ds["x_test"].max() <= 1.0
+
+
+def test_npz_ingestion_per_dataset(tmp_path, monkeypatch):
+    """The .npz escape hatch (the only real-data path for cifar10) loads
+    byte-exact for every dataset."""
+    shapes = {"mnist": (28, 28), "fashionmnist": (28, 28),
+              "cifar10": (32, 32, 3)}
+    rng = np.random.default_rng(2)
+    monkeypatch.setenv("CLIFFORDTPU_DATA_DIR", str(tmp_path))
+    for name, shp in shapes.items():
+        d = tmp_path / name
+        d.mkdir()
+        xtr = rng.integers(0, 256, (12,) + shp, dtype=np.uint8)
+        ytr = rng.integers(0, 10, 12).astype(np.int64)
+        xte = rng.integers(0, 256, (6,) + shp, dtype=np.uint8)
+        yte = rng.integers(0, 10, 6).astype(np.int64)
+        np.savez(d / f"{name}.npz", x_train=xtr, y_train=ytr,
+                 x_test=xte, y_test=yte)
+        ds = load_dataset(name)
+        assert ds["source"] == "real", name
+        np.testing.assert_array_equal(ds["y_train"], ytr)
+        if name == "cifar10":
+            np.testing.assert_allclose(
+                ds["x_test"], xte / 255.0 * 2.0 - 1.0, atol=1e-6)
+        elif name == "mnist":
+            np.testing.assert_allclose(
+                ds["x_test"][..., 0], xte / 255.0, atol=1e-6)
+        else:  # fashion: resized to 32 + pm1
+            assert ds["x_test"].shape == (6, 32, 32, 1)
+            assert ds["x_test"].min() >= -1.0 and ds["x_test"].max() <= 1.0

@@ -159,3 +159,25 @@ def test_ps_token_scaling():
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(z), axis=-1), 4.0, atol=1e-3
     )
+
+
+@pytest.mark.parametrize("family", ["vit", "cnn"])
+def test_bf16_compute_path_close_to_f32(family):
+    """The bench path (dtype=bfloat16: bf16 conv stacks + bf16 transformer
+    residual stream) must track the f32 forward — same weights, same sample
+    key — within bf16 resolution."""
+    kwargs = dict(latent_dim=8, in_channels=1, distribution="clifford")
+    if family == "vit":
+        mk = lambda dt: CliffordARVAE(image_size=32, dtype=dt, **kwargs)
+    else:
+        mk = lambda dt: CNNVAE(img_size=32, dtype=dt, **kwargs)
+    m32, m16 = mk(jnp.float32), mk(jnp.bfloat16)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    params = m32.init({"params": KEY, "sample": KEY}, x)["params"]
+    r32 = m32.apply({"params": params}, x, rngs={"sample": KEY})[0]
+    r16 = m16.apply({"params": params}, x, rngs={"sample": KEY})[0]
+    assert r16.dtype == jnp.float32  # output head stays f32
+    assert np.isfinite(np.asarray(r16)).all()
+    # recon values live in [-1, 1] (tanh / conv head); bf16 has ~3 decimal
+    # digits, deep stacks amplify — generous but non-vacuous bound
+    assert np.max(np.abs(np.asarray(r16) - np.asarray(r32))) < 0.15
