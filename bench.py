@@ -75,7 +75,8 @@ def build_jax_model(cfg: dict, dtype: str):
         distribution="clifford", img_size=cfg["img"], dtype=jdt)
 
 
-def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16") -> dict:
+def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
+                opt: str = "adamw") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +102,7 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16") -> dict:
     x = jax.random.uniform(
         key, (batch, cfg["img"], cfg["img"], cfg["in_ch"])) * 2.0 - 1.0
     t0 = time.time()
-    state = create_train_state(key, model, x[:2], optimizer="adamw", lr=1e-4)
+    state = create_train_state(key, model, x[:2], optimizer=opt, lr=1e-4)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     log(f"params: {n_params / 1e6:.1f}M")
     step = make_cnn_train_step(model)
@@ -218,6 +219,13 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--opt", default="adamw",
+                    choices=["adamw", "adamw_fused"],
+                    help="adamw_fused = flat-vector AdamW+clip, numerically "
+                         "equal to the optax chain (tests/test_train.py); "
+                         "measured SLOWER on v5e at flagship32 (42 vs 51 "
+                         "steps/s: the ravel/unravel passes cost more than "
+                         "the per-leaf chain), kept for larger models")
     ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the measured steps")
     args = ap.parse_args()
@@ -231,7 +239,7 @@ def main():
     if args.batch_sweep:
         sweep = {}
         for b in (64, 128, 256, 512):
-            res = measure_jax(cfg, b, args.dtype)
+            res = measure_jax(cfg, b, args.dtype, args.opt)
             sweep[str(b)] = {**res,
                              "steps_per_sec": round(res["steps_per_sec"], 3),
                              "images_per_sec": round(
@@ -245,9 +253,9 @@ def main():
                        "sweep": sweep}, f, indent=2)
         log(f"wrote {out_path}")
         jax_sps = sweep[str(batch)]["steps_per_sec"] if str(batch) in sweep \
-            else measure_jax(cfg, batch, args.dtype)["steps_per_sec"]
+            else measure_jax(cfg, batch, args.dtype, args.opt)["steps_per_sec"]
     else:
-        jax_sps = measure_jax(cfg, batch, args.dtype)["steps_per_sec"]
+        jax_sps = measure_jax(cfg, batch, args.dtype, args.opt)["steps_per_sec"]
 
     if args.skip_baseline:
         baseline = None

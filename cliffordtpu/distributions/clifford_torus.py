@@ -126,12 +126,31 @@ class CliffordPowerSphericalDistribution:
     def sample(self, key, sample_shape=()):
         """Wrapped-phase reparameterization (``dists/clifford.py:295-308``):
         draw v ~ PS(e1 in R^2, kappa) per circle, theta = loc + atan2(v1, v0),
-        then the Hermitian real-DFT embedding."""
+        then the Hermitian real-DFT embedding.
+
+        The d=2 PowerSpherical is inlined: the Householder reflection with
+        loc = e1 is exactly the identity (u = e1 - e1 = 0), the S^0 tangent
+        is a sign, and the marginal Beta(kappa + 1/2, 1/2) uses the
+        single-Gamma construction (``beta_half_sample``) — same
+        distribution and gradients as the generic path (asserted by
+        tests/test_distributions.py), ~3x fewer sampler ops per train step.
+        """
+        from cliffordtpu.distributions.power_spherical import (
+            _EPS as _PS_EPS,
+            beta_half_sample,
+        )
+
         loc, kappa = self._params()
-        e1 = jnp.zeros(loc.shape + (2,), loc.dtype).at[..., 0].set(1.0)
-        ps = PowerSpherical(e1, kappa)
-        v = ps.sample(key, sample_shape)
-        theta = loc + jnp.arctan2(v[..., 1], v[..., 0])
+        shape = tuple(sample_shape) + loc.shape
+        k_b, k_s = jax.random.split(key)
+        alpha = 0.5 + (kappa + _PS_EPS)  # (d-1)/2 + scale + eps, d = 2
+        b = beta_half_sample(k_b, jnp.broadcast_to(alpha, loc.shape), 1,
+                             shape)
+        t = 2.0 * b - 1.0  # = cos(theta'), the wrapped-phase cosine
+        s = jax.random.normal(k_s, shape, dtype=loc.dtype)
+        s = s / (jnp.abs(s) + _PS_EPS)  # normalized 1-d gaussian = sign
+        v1 = s * jnp.sqrt(jnp.clip(1.0 - t * t, min=_PS_EPS))
+        theta = loc + jnp.arctan2(v1, t)
         return angles_to_torus(theta)
 
     rsample = sample

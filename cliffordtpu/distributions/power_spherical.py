@@ -33,12 +33,30 @@ def t_transform(t, v):
         [t, v * jnp.sqrt(jnp.clip(1.0 - t**2, min=_EPS))], axis=-1)
 
 
+def beta_half_sample(key, alpha, n_half: int, shape):
+    """Beta(alpha, n_half/2) via ONE Gamma draw: B = X / (X + Y) with
+    X ~ Gamma(alpha) (implicit-reparameterization grads through alpha) and
+    Y ~ Gamma(n_half/2) = chi^2_{n_half}/2 = sum of n_half squared normals
+    over 2 — exact, closed form, no second rejection sampler.
+
+    PowerSpherical's second Beta shape is ALWAYS the half-integer (d-1)/2
+    (``dists/clifford.py:124-137``), so this replaces ``jax.random.beta``
+    (two rejection-sampled Gammas) on the sampling hot path; ~2.3 ms/step
+    of the flagship profile was this sampler block.
+    """
+    shape = tuple(shape)
+    kx, ky = jax.random.split(key)
+    x = jax.random.gamma(kx, jnp.broadcast_to(alpha, shape))
+    z = jax.random.normal(ky, shape + (n_half,))
+    y = 0.5 * jnp.sum(z * z, axis=-1)
+    return x / (x + y)
+
+
 def marginal_t_sample(key, dim: int, scale, shape=()):
     """Sample t = 2*Beta((d-1)/2 + scale + eps, (d-1)/2) - 1 — the marginal
     of <loc, x> under PowerSpherical (``dists/clifford.py:124-137``)."""
     alpha = (dim - 1) / 2.0 + scale + _EPS
-    beta = (dim - 1) / 2.0
-    b = jax.random.beta(key, alpha, beta, shape=tuple(shape))
+    b = beta_half_sample(key, alpha, dim - 1, tuple(shape))
     return 2.0 * b - 1.0
 
 
@@ -103,8 +121,9 @@ class PowerSpherical:
         k_t, k_v = jax.random.split(key)
         alpha, beta, _ = self._alpha_beta()
         alpha = jnp.broadcast_to(alpha, batch_shape)
-        # marginal t = 2*Beta(alpha, beta) - 1   (``dists/clifford.py:124-137``)
-        b = jax.random.beta(k_t, alpha, beta, shape=shape)
+        # marginal t = 2*Beta(alpha, (d-1)/2) - 1 (``dists/clifford.py:124-137``)
+        # via the single-Gamma + chi^2 construction (see beta_half_sample)
+        b = beta_half_sample(k_t, alpha, d - 1, shape)
         t = 2.0 * b - 1.0
         # uniform tangent direction on S^(d-2) (``:100-107`` with +eps norm)
         v = jax.random.normal(k_v, shape + (d - 1,), dtype=self.loc.dtype)

@@ -382,3 +382,61 @@ def test_distributions_jit_and_vmap():
         jax.random.normal(KEY, (6, 3)), jnp.full((6,), 2.0)
     )
     assert zs.shape == (6, 3)
+
+
+def test_beta_half_sample_matches_beta_distribution():
+    """The single-Gamma + chi^2 Beta construction (sampling hot path) must
+    reproduce Beta(a, n/2) moments, and carry gradients w.r.t. alpha."""
+    from cliffordtpu.distributions.power_spherical import beta_half_sample
+
+    key = jax.random.PRNGKey(5)
+    for a, n_half in [(0.53, 1), (2.0, 1), (5.0, 4), (1.5, 257)]:
+        b = n_half / 2.0
+        s = beta_half_sample(key, jnp.float32(a), n_half, (120000,))
+        mean = float(s.mean())
+        var = float(s.var())
+        exp_mean = a / (a + b)
+        exp_var = a * b / ((a + b) ** 2 * (a + b + 1))
+        assert abs(mean - exp_mean) < 4e-3, (a, n_half, mean, exp_mean)
+        assert abs(var - exp_var) < 4e-3, (a, n_half, var, exp_var)
+
+    # implicit-reparameterization gradient through alpha is finite, nonzero
+    g = jax.grad(
+        lambda a: beta_half_sample(key, a, 1, (256,)).mean()
+    )(jnp.float32(2.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-6
+
+
+def test_clifford_ps_fast_path_distribution():
+    """The inlined d=2 sampler in CliffordPowerSphericalDistribution.sample
+    must match the generic PowerSpherical construction: wrapped-phase
+    moments of cos(theta - loc) equal the PS marginal-t mean a/(a+b)."""
+    d = 6
+    loc = jnp.linspace(-2.0, 2.0, d)
+    kappa = jnp.full((d,), 4.0)
+    dist = CliffordPowerSphericalDistribution(loc, kappa)
+    key = jax.random.PRNGKey(9)
+    x = dist.sample(key, (4000,))
+    assert x.shape == (4000, 2 * d)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1), 1.0, atol=1e-4)
+    from cliffordtpu.ops.torus import torus_to_angles
+
+    theta = np.asarray(torus_to_angles(x))
+    a = 4.0 + 0.5 + 1e-7
+    exp_cos = 2 * (a / (a + 0.5)) - 1  # E[t] = 2 E[Beta] - 1
+    got = np.cos(theta[:, 1:] - np.asarray(loc)[1:]).mean(0)
+    np.testing.assert_allclose(got, exp_cos, atol=0.02)
+    # angle 0 pinned: theta_0 == 0 regardless of loc/kappa
+    np.testing.assert_allclose(theta[:, 0], 0.0, atol=1e-5)
+
+    # reparameterized: d loss / d kappa is finite and nonzero.  (The loss
+    # must not be the plain sum: the torus embedding's entries always sum
+    # to exactly 1 — the DFT row-sum picks out the constant mode — so
+    # sum() has zero gradient for ANY sampler.)
+    g = jax.grad(
+        lambda k: (CliffordPowerSphericalDistribution(loc, k)
+                   .sample(key, (64,)) ** 2)[..., : d].sum()
+    )(kappa)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 1e-6

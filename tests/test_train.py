@@ -155,3 +155,32 @@ def test_cnn_epoch_scan_matches_per_step():
                     jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("opt,sigma_scale", [
+    ("adam", None), ("adamw", None), ("adamw", 0.1)])
+def test_fused_optimizer_matches_optax(opt, sigma_scale):
+    """{adam,adamw}_fused (one flat-vector update, the TPU fast path) must
+    produce the same parameter trajectory as the per-leaf optax chain
+    clip_by_global_norm(1.0) + optax.{adam,adamw}."""
+    from cliffordtpu.nn import CNNVAE
+    from cliffordtpu.train.loop import make_cnn_train_step
+
+    model = CNNVAE(latent_dim=8, in_channels=1, distribution="clifford",
+                   use_learnable_beta=sigma_scale is not None)
+    x = jax.random.uniform(KEY, (4, 32, 32, 1)) * 2 - 1
+    states = {}
+    for name in (opt, opt + "_fused"):
+        st = create_train_state(KEY, model, x[:2], optimizer=name,
+                                lr=1e-3, sigma_lr_scale=sigma_scale)
+        step = make_cnn_train_step(model)
+        for i in range(5):
+            st, losses = step(st, x, jax.random.fold_in(KEY, i),
+                              jnp.float32(1.0))
+        states[name] = st
+    ref = jax.tree_util.tree_leaves(states[opt].params)
+    fused = jax.tree_util.tree_leaves(states[opt + "_fused"].params)
+    for a, b in zip(ref, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    assert np.isfinite(float(losses["total_loss"]))
