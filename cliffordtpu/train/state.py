@@ -129,7 +129,12 @@ def create_train_state(
     sigma_lr_scale: float | None = None,
 ) -> TrainState:
     init_key, sample_key = jax.random.split(key)
-    variables = model.init(
+    # model.init MUST run under jit: eagerly it dispatches thousands of tiny
+    # ops one by one, and on the axon TPU tunnel each is an RPC — measured
+    # 153 s of the 155 s flagship32 "compile+warmup" (the train step itself
+    # is persistent-cache-hit in ~8 s).  Jitted, init is one compiled
+    # program that also lands in the persistent cache.
+    variables = jax.jit(model.init)(
         {"params": init_key, "sample": sample_key}, example_input
     )
     params = variables["params"]
