@@ -40,6 +40,12 @@ import numpy as np
 # 4096 -> two 4095x8192 f32 bases (~268 MB total), still comfortably in HBM.
 MATMUL_MAX_DIM = 4096
 
+# Above this dim the bases are generated on device (iota + cos) instead of
+# being embedded as host-constant literals: at d=512 the pair of bases is
+# ~8 MB of HLO; at d=4096 it is ~268 MB, which overflows the remote-compile
+# request limit on tunneled TPU backends (HTTP 413).
+HOST_CONST_MAX_DIM = 512
+
 
 @functools.lru_cache(maxsize=32)
 def _torus_bases(d: int):
@@ -56,6 +62,38 @@ def _torus_bases(d: int):
         sin_b.astype(np.float32),
         const.astype(np.float32),
     )
+
+
+def _torus_bases_device(d: int, dtype):
+    """On-device construction of the embedding bases (iota + cos/sin).
+
+    For large d the host-constant bases would be baked into the HLO as
+    literals — at d=4096 that is ~268 MB of program, which overflows the
+    remote-compile request limit (HTTP 413) on tunneled TPU backends.
+    Generated on device the program carries only iotas.  The phase
+    ``2*pi*k*j/n`` is reduced mod n in int32 BEFORE the float multiply:
+    k*j reaches 33.5M at d=4096, beyond f32's exact-integer range, while
+    (k*j) % n < 2d is always exact.
+    """
+    n = 2 * d
+    k = jnp.arange(1, d, dtype=jnp.int32)
+    j = jnp.arange(n, dtype=jnp.int32)
+    kj = (k[:, None] * j[None, :]) % n  # (d-1, n), exact in int32
+    phase = kj.astype(jnp.float32) * jnp.float32(2.0 * np.pi / n)
+    cos_b = (2.0 / n) * jnp.cos(phase)
+    sin_b = -(2.0 / n) * jnp.sin(phase)
+    const = (1.0 + jnp.cos(jnp.pi * j.astype(jnp.float32))) / n
+    return cos_b.astype(dtype), sin_b.astype(dtype), const.astype(dtype)
+
+
+def _fft_bases_device(d: int, dtype):
+    """On-device inverse-transform bases; see ``_torus_bases_device``."""
+    n = 2 * d
+    j = jnp.arange(n, dtype=jnp.int32)
+    k = jnp.arange(d, dtype=jnp.int32)
+    jk = (j[:, None] * k[None, :]) % n  # (n, d), exact in int32
+    phase = jk.astype(jnp.float32) * jnp.float32(2.0 * np.pi / n)
+    return jnp.cos(phase).astype(dtype), (-jnp.sin(phase)).astype(dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -90,14 +128,16 @@ def angles_to_torus(angles: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
 
         return angles_to_torus_fused(angles)
     if method == "matmul":
-        cos_b, sin_b, const = _torus_bases(d)
-        th = angles[..., 1:]
         dtype = angles.dtype
-        x = (
-            jnp.cos(th) @ jnp.asarray(cos_b, dtype)
-            + jnp.sin(th) @ jnp.asarray(sin_b, dtype)
-            + jnp.asarray(const, dtype)
-        )
+        if d > HOST_CONST_MAX_DIM:
+            cos_b, sin_b, const = _torus_bases_device(d, dtype)
+        else:
+            np_cos, np_sin, np_const = _torus_bases(d)
+            cos_b = jnp.asarray(np_cos, dtype)
+            sin_b = jnp.asarray(np_sin, dtype)
+            const = jnp.asarray(np_const, dtype)
+        th = angles[..., 1:]
+        x = jnp.cos(th) @ cos_b + jnp.sin(th) @ sin_b + const
         return x
     # FFT fallback: build the Hermitian spectrum explicitly like the reference.
     n = 2 * d
@@ -121,10 +161,15 @@ def torus_to_angles(x: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     if method == "auto":
         method = "matmul" if d <= MATMUL_MAX_DIM else "fft"
     if method == "matmul":
-        cos_b, sin_b = _fft_bases(d)
         dtype = x.dtype
-        re = x @ jnp.asarray(cos_b, dtype)
-        im = x @ jnp.asarray(sin_b, dtype)
+        if d > HOST_CONST_MAX_DIM:
+            cos_b, sin_b = _fft_bases_device(d, dtype)
+        else:
+            np_cos, np_sin = _fft_bases(d)
+            cos_b = jnp.asarray(np_cos, dtype)
+            sin_b = jnp.asarray(np_sin, dtype)
+        re = x @ cos_b
+        im = x @ sin_b
         return jnp.arctan2(im, re)
     freq = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)[..., :d]
     return jnp.angle(freq).astype(x.dtype)

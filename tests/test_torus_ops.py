@@ -67,3 +67,43 @@ def test_gradients_flow():
     # angle 0 is pinned -> zero gradient there, nonzero elsewhere
     assert abs(float(g[0])) < 1e-6
     assert np.any(np.abs(np.asarray(g[1:])) > 1e-8)
+
+
+def test_device_bases_match_host_constants():
+    """Above HOST_CONST_MAX_DIM the DFT bases are generated on device
+    (iota + int32 mod + cos) instead of host-constant literals; the two
+    constructions must agree to f32 rounding at every dim, including ones
+    past f32's exact-integer range for k*j (d=4096: k*j up to 33.5M)."""
+    from cliffordtpu.ops.torus import (
+        _fft_bases,
+        _fft_bases_device,
+        _torus_bases,
+        _torus_bases_device,
+    )
+
+    for d in (16, 600, 4096):
+        cos_h, sin_h, const_h = _torus_bases(d)
+        cos_d, sin_d, const_d = _torus_bases_device(d, jnp.float32)
+        np.testing.assert_allclose(np.asarray(cos_d), cos_h, atol=3e-7)
+        np.testing.assert_allclose(np.asarray(sin_d), sin_h, atol=3e-7)
+        np.testing.assert_allclose(np.asarray(const_d), const_h, atol=3e-7)
+        icos_h, isin_h = _fft_bases(d)
+        icos_d, isin_d = _fft_bases_device(d, jnp.float32)
+        np.testing.assert_allclose(np.asarray(icos_d), icos_h, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(isin_d), isin_h, atol=2e-6)
+
+
+def test_large_dim_roundtrip_uses_device_bases():
+    """d=600 (> HOST_CONST_MAX_DIM) must round-trip through the
+    device-generated bases exactly like the small-dim path."""
+    key = jax.random.PRNGKey(11)
+    angles = jax.random.uniform(key, (3, 600), minval=-3.0, maxval=3.0)
+    x = angles_to_torus(angles)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1), 1.0, atol=1e-4)
+    rec = torus_to_angles(x)
+    np.testing.assert_allclose(
+        np.asarray(wrap_angle(rec[..., 1:])),
+        np.asarray(wrap_angle(angles[..., 1:])),
+        atol=1e-3,
+    )
