@@ -80,17 +80,9 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: cuts the ~3 min axon remote compile on
-    # repeat runs when the backend supports executable serialization
-    # (harmless no-op otherwise)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception as e:
-        log(f"compile cache unavailable: {e}")
+    from cliffordtpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from cliffordtpu.train.loop import make_cnn_train_step
     from cliffordtpu.train.state import create_train_state

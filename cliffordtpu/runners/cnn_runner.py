@@ -202,6 +202,7 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
     best_params = jax.tree_util.tree_map(lambda a: a.copy(),
                                          state.params)
     patience_counter = 0
+    epoch_t0 = time.time()
     for epoch in range(args.epochs):
         beta = (1.0 if args.use_learnable_beta else cyclical_kl_beta(
             epoch, args.warmup_epochs, args.cycle_epochs, args.min_beta,
@@ -259,6 +260,13 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
         else:
             patience_counter += 1
 
+        # wall-time per epoch on stdout: epoch 0 carries the compiles, so a
+        # slow trial log shows at a glance whether compile or steps dominate
+        print(f"epoch {epoch + 1}/{args.epochs}: "
+              f"train {tr['total'] / steps:.2f} test {val:.2f} "
+              f"({time.time() - epoch_t0:.1f}s)", flush=True)
+        epoch_t0 = time.time()
+
         if logger and logger.use:
             logger.log_metrics({
                 "epoch": epoch,
@@ -282,8 +290,11 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
 def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                         full_eval: bool = True):
     """Main sweep loop shared by the fashion and cifar10 runners."""
+    from cliffordtpu.utils.compile_cache import enable_persistent_cache
+
     script_start_time = time.time()
     timing_results: Dict = {}
+    enable_persistent_cache()  # ~100-200 s/program saved per fresh process
     os.chdir(ensure_dir(args.outdir))
     print(f"Device: {jax.devices()[0]}")
     logger = WandbLogger(args)

@@ -26,6 +26,10 @@ import jax
 # this tool always evaluates on CPU (isolation is the point)
 jax.config.update("jax_platforms", "cpu")
 
+from cliffordtpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -164,8 +164,11 @@ def _batches(x, y, bs):
 
 
 def run(args):
+    from cliffordtpu.utils.compile_cache import enable_persistent_cache
+
     script_start_time = time.time()
     timing_results = {}
+    enable_persistent_cache()
     os.chdir(ensure_dir(args.outdir))
     print(f"Using device: {jax.devices()[0]}")
 
