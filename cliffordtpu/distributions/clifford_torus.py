@@ -128,29 +128,35 @@ class CliffordPowerSphericalDistribution:
         draw v ~ PS(e1 in R^2, kappa) per circle, theta = loc + atan2(v1, v0),
         then the Hermitian real-DFT embedding.
 
-        The d=2 PowerSpherical is inlined: the Householder reflection with
-        loc = e1 is exactly the identity (u = e1 - e1 = 0), the S^0 tangent
-        is a sign, and the marginal Beta(kappa + 1/2, 1/2) uses the
-        single-Gamma construction (``beta_half_sample``) — same
-        distribution and gradients as the generic path (asserted by
-        tests/test_distributions.py), ~3x fewer sampler ops per train step.
+        The d=2 PowerSpherical is replaced by an exact CLOSED-FORM circle
+        sampler (no Gamma/Beta rejection machinery at all): the PS(S^1,
+        kappa) density is p(theta) ∝ (1 + cos theta)^k = (2 cos^2(theta/2))^k,
+        so tan(theta/2) is a Student-t with nu = 2k+1 degrees of freedom
+        scaled by 1/sqrt(nu), and Student-t has Bailey's exact two-uniform
+        polar representation T = cos(2 pi V) * sqrt(nu (U^(-2/nu) - 1)).
+        The sqrt(nu) scalings cancel:
+
+            theta = loc + 2 atan( cos(2 pi V) * sqrt(expm1(-(2/nu) ln U)) )
+
+        Pure elementwise, two uniforms per angle, pathwise-differentiable
+        in kappa through nu (no implicit diff, no while_loop — the
+        jax.random.gamma loop cost ~1.1 ms/step of the flagship profile).
+        Distribution equality with the generic path is asserted by
+        tests/test_distributions.py (moments) and was KS-tested against
+        scipy.stats.t (p ~ 0.2-0.3 at n=4e5).
         """
-        from cliffordtpu.distributions.power_spherical import (
-            _EPS as _PS_EPS,
-            beta_half_sample,
-        )
+        from cliffordtpu.distributions.power_spherical import _EPS as _PS_EPS
 
         loc, kappa = self._params()
         shape = tuple(sample_shape) + loc.shape
-        k_b, k_s = jax.random.split(key)
-        alpha = 0.5 + (kappa + _PS_EPS)  # (d-1)/2 + scale + eps, d = 2
-        b = beta_half_sample(k_b, jnp.broadcast_to(alpha, loc.shape), 1,
-                             shape)
-        t = 2.0 * b - 1.0  # = cos(theta'), the wrapped-phase cosine
-        s = jax.random.normal(k_s, shape, dtype=loc.dtype)
-        s = s / (jnp.abs(s) + _PS_EPS)  # normalized 1-d gaussian = sign
-        v1 = s * jnp.sqrt(jnp.clip(1.0 - t * t, min=_PS_EPS))
-        theta = loc + jnp.arctan2(v1, t)
+        k_u, k_v = jax.random.split(key)
+        nu = 2.0 * (kappa + _PS_EPS) + 1.0  # matches alpha = k + 1/2 + eps
+        u = jax.random.uniform(k_u, shape, dtype=jnp.float32, minval=1e-12)
+        v = jax.random.uniform(k_v, shape, dtype=jnp.float32)
+        # expm1 keeps precision at large kappa where U^(-2/nu) -> 1
+        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
+        theta = loc + 2.0 * jnp.arctan(
+            jnp.cos((2.0 * jnp.pi) * v) * jnp.sqrt(w)).astype(loc.dtype)
         return angles_to_torus(theta)
 
     rsample = sample

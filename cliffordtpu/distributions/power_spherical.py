@@ -44,9 +44,13 @@ def beta_half_sample(key, alpha, n_half: int, shape):
     (two rejection-sampled Gammas) on the sampling hot path; ~2.3 ms/step
     of the flagship profile was this sampler block.
     """
+    from cliffordtpu.distributions.gamma import gamma_sample
+
     shape = tuple(shape)
     kx, ky = jax.random.split(key)
-    x = jax.random.gamma(kx, jnp.broadcast_to(alpha, shape))
+    # fixed-budget Marsaglia-Tsang draw: no while_loop in the train step
+    # (~1.1 ms/step of the flagship profile was jax.random.gamma's loop)
+    x = gamma_sample(kx, alpha, shape)
     z = jax.random.normal(ky, shape + (n_half,))
     y = 0.5 * jnp.sum(z * z, axis=-1)
     return x / (x + y)

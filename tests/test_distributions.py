@@ -440,3 +440,24 @@ def test_clifford_ps_fast_path_distribution():
     )(kappa)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 1e-6
+
+
+def test_fixed_budget_gamma_matches_gamma():
+    """The while-free K-proposal Marsaglia-Tsang sampler (train-step hot
+    path) must reproduce Gamma(a,1) moments across the boost boundary and
+    carry the same implicit-reparameterization gradient (E[z]=a so
+    d mean / d a == 1) as jax.random.gamma."""
+    from cliffordtpu.distributions.gamma import gamma_sample
+
+    key = jax.random.PRNGKey(2)
+    for a in (0.3, 0.50000012, 1.0, 4.0, 20.0):
+        s = gamma_sample(key, jnp.float32(a), (200000,))
+        assert float(s.min()) > 0
+        assert abs(float(s.mean()) - a) < 0.03 * max(1, a)
+        assert abs(float(s.var()) - a) < 0.06 * max(1, a)
+
+    for a in (0.6, 2.0):
+        g = jax.grad(
+            lambda al: gamma_sample(key, al, (4096,)).mean()
+        )(jnp.float32(a))
+        assert np.isfinite(float(g)) and abs(float(g) - 1.0) < 0.1, (a, g)
