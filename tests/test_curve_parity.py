@@ -44,8 +44,10 @@ def test_gaussian_exact_curve_parity(tmp_path):
 
 def test_clifford_statistical_curve_parity(tmp_path):
     """Framework-native samplers: ensemble means within seed noise."""
+    # 4 seeds: a 2-seed std (ddof=1) underestimates sigma often enough to
+    # flake the floor_mult*spread tolerance (observed on val_kl)
     _run(tmp_path, "--dist", "clifford", "--d", "5", "--epochs", "2",
-         "--limit_train", "1024", "--n_seeds", "2")
+         "--limit_train", "1024", "--n_seeds", "4")
     rep = json.loads(
         (tmp_path / "parity_curves_clifford.json").read_text())
     assert rep["pass"]

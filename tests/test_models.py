@@ -181,3 +181,26 @@ def test_bf16_compute_path_close_to_f32(family):
     # recon values live in [-1, 1] (tanh / conv head); bf16 has ~3 decimal
     # digits, deep stacks amplify — generous but non-vacuous bound
     assert np.max(np.abs(np.asarray(r16) - np.asarray(r32))) < 0.15
+
+
+def test_iwae_cnn_and_vit_families():
+    """IWAE bound extension for CNN/per-token models (the reference defines
+    IWAE only for the MLP): finite, and the K=10 bound is no worse than K=1
+    (IWAE monotonicity, allowing Monte-Carlo slack)."""
+    from cliffordtpu.nn import CliffordARVAE, CNNVAE
+    from cliffordtpu.nn.losses import iwae_log_likelihood_cnn
+
+    x = jax.random.uniform(KEY, (4, 32, 32, 1)) * 2 - 1
+    for model in (
+        CNNVAE(latent_dim=8, in_channels=1, distribution="clifford"),
+        CNNVAE(latent_dim=8, in_channels=1, distribution="gaussian"),
+        CliffordARVAE(latent_dim=8, image_size=32, in_channels=1,
+                      distribution="clifford"),
+    ):
+        params = model.init({"params": KEY, "sample": KEY}, x)["params"]
+        k = jax.random.PRNGKey(7)
+        ll1 = float(iwae_log_likelihood_cnn(k, model, params, x, n_samples=1))
+        ll10 = float(iwae_log_likelihood_cnn(k, model, params, x,
+                                             n_samples=10))
+        assert np.isfinite(ll1) and np.isfinite(ll10), model.distribution
+        assert ll10 >= ll1 - 20.0, (model.distribution, ll1, ll10)
