@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from cliffordtpu.distributions.bessel import ive_fraction_approx2, log_ive
+from cliffordtpu.distributions.gamma import gamma_sample
 
 _REJECTION_ROUNDS = 32
 
@@ -104,7 +105,14 @@ class VonMisesFisher:
         K = _REJECTION_ROUNDS
         k_e, k_u = jax.random.split(key)
         con = (m - 1.0) / 2.0
-        e = jax.random.beta(k_e, con, con, shape=(K,) + kappa.shape)
+        # Beta(c, c) proposals from two while-free fixed-budget Gamma draws
+        # (jax.random.beta lowers to two lax.while_loops on TPU); grads are
+        # stopped here just like the reference's proposals (``:126-175``)
+        k_e1, k_e2 = jax.random.split(k_e)
+        shape = (K,) + kappa.shape
+        gx = gamma_sample(k_e1, jnp.float32(con), shape)
+        gy = gamma_sample(k_e2, jnp.float32(con), shape)
+        e = gx / (gx + gy)
         e = jax.lax.stop_gradient(e.astype(kappa.dtype))
         u = jax.random.uniform(
             k_u, (K,) + kappa.shape, dtype=kappa.dtype,
