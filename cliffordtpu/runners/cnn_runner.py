@@ -377,6 +377,32 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     save_checkpoint(output_dir, state, step=0,
                                     best_metric=best)
 
+                # optional IWAE log-likelihood bound (extension beyond the
+                # reference, which has IWAE only for the MLP runners)
+                iwae_ll = None
+                if getattr(args, "iwae_samples", 0):
+                    try:
+                        from cliffordtpu.nn.losses import (
+                            iwae_log_likelihood_cnn,
+                        )
+
+                        n_eval = min(256, len(x_test))
+                        tot, bs = 0.0, 64
+                        for s in range(0, n_eval, bs):
+                            xb = jnp.asarray(x_test[s:s + bs])
+                            tot += float(iwae_log_likelihood_cnn(
+                                jax.random.fold_in(run_key, 7700 + s),
+                                model, state.params, xb,
+                                n_samples=args.iwae_samples,
+                                recon_loss_type=args.recon_loss,
+                            )) * len(xb)
+                        iwae_ll = tot / n_eval
+                        print(f"IWAE-{args.iwae_samples} test ll/image: "
+                              f"{iwae_ll:.2f}")
+                    except Exception as e:  # eval must not kill the sweep
+                        print(f"iwae eval failed: {e}")
+                        iwae_ll = None
+
                 eval_start_time = time.time()
 
                 # --eval_subprocess: run the battery in a fresh CPU-only
@@ -605,6 +631,9 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     **({"generation_fid": gen_fid}
                        if gen_fid is not None and not math.isnan(gen_fid)
                        else {}),
+                    **({"iwae_ll": iwae_ll,
+                        "iwae_samples": args.iwae_samples}
+                       if iwae_ll is not None else {}),
                     "fid_features": fid_res["fid_features"],
                 }
                 if logger.use:

@@ -59,6 +59,8 @@ def build_parser():
     p.add_argument("--limit_train", type=int, default=None)
     p.add_argument("--limit_test", type=int, default=None)
     p.add_argument("--vsa_trials", type=int, default=20)
+    p.add_argument("--iwae_samples", type=int, default=0,
+                   help="if > 0, also report an IWAE-K test log-likelihood\n                   bound (framework extension; reference has IWAE only\n                   for the MLP runners)")
     p.add_argument("--fid_samples", type=int, default=2048)
     p.add_argument("--eval_subprocess", action="store_true",
                    help="run the eval battery in a fresh CPU-only process "
