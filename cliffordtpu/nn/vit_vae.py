@@ -68,6 +68,26 @@ def apply_rotary(x, cos, sin):
     return jnp.stack([out0, out1], axis=-1).reshape(B, S, H, D)
 
 
+def apply_rotary_half(x, cos, sin):
+    """Rotate contiguous half pairs: pair i = (x[i], x[i + D/2]).
+
+    Numerically identical to ``apply_rotary`` after permuting the head
+    basis (interleaved pair (2i, 2i+1) -> (i, i + D/2)).  Because q and k
+    are projections of learned matrices, the permutation is absorbed into
+    Wq/Wk at init (xavier is iid, so the init distribution is unchanged)
+    and cancels inside q·k — v and the output projection never see it.
+    This removes the per-pair reshape/stack shuffles that showed up as
+    ~1 ms/step of reshape+concatenate in the flagship decoder profile.
+    Torch-weight interop permutes the imported wq/wk rows to match
+    (``utils/torch_interop.py::rope_perm_t``)."""
+    B, S, H, D = x.shape
+    x0, x1 = x[..., : D // 2], x[..., D // 2:]
+    cos = cos[:S][None, :, None, :].astype(x.dtype)
+    sin = sin[:S][None, :, None, :].astype(x.dtype)
+    return jnp.concatenate(
+        [x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+
+
 # ---- transformer components ----
 
 
@@ -110,8 +130,10 @@ class Attention(nn.Module):
         k = k.reshape(B, S, self.n_heads, hd)
         v = v.reshape(B, S, self.n_heads, hd)
         if cos is not None:
-            q = apply_rotary(q, cos, sin)
-            k = apply_rotary(k, cos, sin)
+            # half-split rotation in the permuted head basis (see
+            # apply_rotary_half); q.k is invariant to the permutation
+            q = apply_rotary_half(q, cos, sin)
+            k = apply_rotary_half(k, cos, sin)
         out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, S, D)
         return nn.Dense(D, use_bias=False, kernel_init=_XAVIER,

@@ -128,15 +128,32 @@ def copy_cnn_decoder_weights(sd, params):
     return new
 
 
-def copy_transformer_block_weights(sd, params):
+def rope_perm_t(w, n_heads: int):
+    """``linear_t`` + permute the q/k OUTPUT dim from torch's interleaved
+    RoPE pair layout (2i, 2i+1) to the half-split basis (i, i + hd/2) used
+    by ``vit_vae.apply_rotary_half``.  The permutation is common to q and
+    k, so q·k (and hence every block output, with or without RoPE) is
+    unchanged — verified by tests/test_model_parity.py."""
+    import numpy as np
+
+    k = np.asarray(linear_t(w))  # (in, out)
+    hd = k.shape[1] // n_heads
+    idx = np.arange(k.shape[1]).reshape(n_heads, hd)
+    perm = np.concatenate([idx[:, 0::2], idx[:, 1::2]], axis=1).reshape(-1)
+    return jnp.asarray(k[:, perm])
+
+
+def copy_transformer_block_weights(sd, params, n_heads: int):
     """Reference ``TransformerBlock`` (``cnn/cliffordar_model.py:105-116``)
     -> flax ``cliffordtpu.nn.vit_vae.TransformerBlock`` params."""
     return {
         "RMSNorm_0": {"scale": jnp.asarray(sd["norm1.weight"])},
         "RMSNorm_1": {"scale": jnp.asarray(sd["norm2.weight"])},
         "Attention_0": {
-            "Dense_0": {"kernel": linear_t(sd["attn.wq.weight"])},
-            "Dense_1": {"kernel": linear_t(sd["attn.wk.weight"])},
+            "Dense_0": {"kernel": rope_perm_t(sd["attn.wq.weight"],
+                                              n_heads)},
+            "Dense_1": {"kernel": rope_perm_t(sd["attn.wk.weight"],
+                                              n_heads)},
             "Dense_2": {"kernel": linear_t(sd["attn.wv.weight"])},
             "Dense_3": {"kernel": linear_t(sd["attn.wo.weight"])},
         },

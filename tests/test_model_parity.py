@@ -100,7 +100,7 @@ def test_transformer_block_parity():
     params = jm.init(KEY, jnp.asarray(x), jnp.asarray(cos),
                      jnp.asarray(sin))["params"]
     params = copy_transformer_block_weights(
-        torch_state_dict_to_numpy(tm), params)
+        torch_state_dict_to_numpy(tm), params, n_heads)
 
     with torch.no_grad():
         t_out = tm(torch.tensor(x), freqs_cis=freqs_cis).numpy()
