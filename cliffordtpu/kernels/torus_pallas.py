@@ -2,65 +2,94 @@
 
 Computes ``x = cos(th) @ C + sin(th) @ S + c`` — the exact real-DFT torus
 embedding of ``cliffordtpu.ops.torus.angles_to_torus`` — in ONE kernel:
-the cos/sin of the angles are produced in VMEM and fed straight to the MXU,
-so the (B, d-1) cos/sin intermediates never round-trip through HBM (XLA
-materializes at least one of them because both matmuls consume them).
+the cos/sin of the angles are produced in VMEM and fed straight to the
+MXU, and the DFT bases are GENERATED IN-KERNEL from iotas into VMEM
+scratch (cached across batch tiles), so
+
+* no (B, d-1) cos/sin intermediate ever round-trips through HBM,
+* no basis matrix exists in HBM or as an HLO constant at all — at
+  d=4096 the host-constant bases are ~268 MB, which both overflows the
+  tunneled remote-compile request limit and costs a full HBM read per
+  call (see ``ops/torus.py::_torus_bases_device`` for the XLA-path
+  version of this argument; here the bases never leave VMEM).
+
+The phase ``2*pi*k*j/n`` is reduced mod n in int32 BEFORE the float
+multiply: k*j reaches 33.5M at d=4096, beyond f32's exact-integer range,
+while (k*j) % n < 2d is always exact.
 
 Backward pass is fused the same way (custom VJP):
-``dth = (-sin(th)) * (g @ C^T) + cos(th) * (g @ S^T)``.
+``dth = (-sin(th)) * (g @ C^T) + cos(th) * (g @ S^T)``, with the
+transposed basis tiles likewise generated into scratch.
 
-Grid: (B / TB, N / TN) with the full angle row per tile; bases are tiled on
-the output axis.  Shapes are padded to the (8, 128) f32 tile internally.
+Grids put the basis-tile axis OUTER and the batch axis INNER, so each
+scratch basis tile is generated once (at batch-tile 0) and reused for
+every batch tile — generation cost is one full basis sweep per call,
+independent of batch size.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from cliffordtpu.ops.torus import _torus_bases
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(th_ref, cos_b_ref, sin_b_ref, const_ref, out_ref):
+def _fwd_kernel(th_ref, out_ref, cos_sc, sin_sc, *, d: int, TN: int):
+    j = pl.program_id(0)  # output-column tile (outer)
+    i = pl.program_id(1)  # batch tile (inner)
+    n = 2 * d
+
+    @pl.when(i == 0)
+    def _generate_basis():
+        kp, tn = cos_sc.shape
+        # basis row k (angle index, 1-based), column = global output index
+        krow = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 0) + 1
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 1) + j * TN
+        phase = ((krow * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
+        valid = krow <= d - 1  # zero the padded k rows (th pad cols are 0
+        # but cos(0) = 1 would still contribute)
+        cos_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
+        sin_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+
     th = th_ref[:]
-    c = jnp.cos(th)
-    s = jnp.sin(th)
-    out = (
-        jnp.dot(c, cos_b_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(s, sin_b_ref[:], preferred_element_type=jnp.float32)
-        + const_ref[:]
+    col = (jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1) + j * TN)
+    const = jnp.where(col % 2 == 0, 2.0 / n, 0.0)  # (1 + (-1)^col)/n
+    out_ref[:] = (
+        jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
+        + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
+        + const
     )
-    out_ref[:] = out
 
 
-def _bwd_kernel(th_ref, g_ref, cos_bt_ref, sin_bt_ref, dth_ref):
+def _bwd_kernel(th_ref, g_ref, dth_ref, cbt_sc, sbt_sc, *, d: int, TK: int):
+    kk = pl.program_id(0)  # k tile (outer)
+    i = pl.program_id(1)   # batch tile (inner)
+    n = 2 * d
+
+    @pl.when(i == 0)
+    def _generate_basis_t():
+        npad, tk = cbt_sc.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (npad, tk), 0)  # n index
+        kcol = (jax.lax.broadcasted_iota(jnp.int32, (npad, tk), 1)
+                + kk * TK + 1)
+        phase = ((row * kcol) % n).astype(jnp.float32) * (2.0 * math.pi / n)
+        valid = (row < n) & (kcol <= d - 1)
+        cbt_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
+        sbt_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+
     th = th_ref[:]
     g = g_ref[:]
-    gc = jnp.dot(g, cos_bt_ref[:], preferred_element_type=jnp.float32)
-    gs = jnp.dot(g, sin_bt_ref[:], preferred_element_type=jnp.float32)
+    gc = jnp.dot(g, cbt_sc[:], preferred_element_type=jnp.float32)
+    gs = jnp.dot(g, sbt_sc[:], preferred_element_type=jnp.float32)
     dth_ref[:] = -jnp.sin(th) * gc + jnp.cos(th) * gs
-
-
-def _padded_bases(d: int):
-    cos_b, sin_b, const = _torus_bases(d)
-    k, n = cos_b.shape  # (d-1, 2d)
-    kp, np_ = _round_up(k, 8), _round_up(n, 128)
-    cb = np.zeros((kp, np_), np.float32)
-    sb = np.zeros((kp, np_), np.float32)
-    cc = np.zeros((1, np_), np.float32)
-    cb[:k, :n] = cos_b
-    sb[:k, :n] = sin_b
-    cc[0, :n] = const
-    return cb, sb, cc, k, n, kp, np_
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -69,29 +98,28 @@ def _torus_fused_2d(th_pad, d: int):
 
 
 def _torus_fused_fwd_impl(th_pad, d: int):
-    cb, sb, cc, k, n, kp, np_ = _padded_bases(d)
-    B = th_pad.shape[0]
+    B, kp = th_pad.shape
+    n = 2 * d
+    np_ = _round_up(n, 128)
     TB = min(256, B)
-    TN = min(512, np_)
-    grid = (pl.cdiv(B, TB), pl.cdiv(np_, TN))
-    out = pl.pallas_call(
-        _fwd_kernel,
+    # keep scratch + th tile well under VMEM: 2 * kp * TN * 4B of scratch
+    TN = 128 if kp > 1024 else min(512, np_)
+    grid = (pl.cdiv(np_, TN), pl.cdiv(B, TB))  # j outer, i inner
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, d=d, TN=TN),
         out_shape=jax.ShapeDtypeStruct((B, np_), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, TN), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, TN), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda i, j: (0, j),
+            pl.BlockSpec((TB, kp), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, TN), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((TB, TN), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
-    )(th_pad, jnp.asarray(cb), jnp.asarray(sb), jnp.asarray(cc))
-    return out
+        scratch_shapes=[
+            pltpu.VMEM((kp, TN), jnp.float32),
+            pltpu.VMEM((kp, TN), jnp.float32),
+        ],
+    )(th_pad)
 
 
 def _torus_fused_fwd(th_pad, d: int):
@@ -99,29 +127,29 @@ def _torus_fused_fwd(th_pad, d: int):
 
 
 def _torus_fused_bwd(d: int, th_pad, g):
-    cb, sb, cc, k, n, kp, np_ = _padded_bases(d)
-    B = th_pad.shape[0]
-    TB = min(256, B)
-    cbt = jnp.asarray(cb.T.copy())  # (np_, kp)
-    sbt = jnp.asarray(sb.T.copy())
-    grid = (pl.cdiv(B, TB),)
+    B, kp = th_pad.shape
+    n = 2 * d
+    np_ = _round_up(n, 128)
+    TB = min(128, B)
+    TK = 128 if np_ > 1024 else min(512, kp)
+    grid = (pl.cdiv(kp, TK), pl.cdiv(B, TB))  # k tile outer, batch inner
     dth = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, d=d, TK=TK),
         out_shape=jax.ShapeDtypeStruct((B, kp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, kp), lambda i: (i, 0),
+            pl.BlockSpec((TB, TK), lambda k, i: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, np_), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, kp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, kp), lambda i: (0, 0),
+            pl.BlockSpec((TB, np_), lambda k, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TB, TK), lambda k, i: (i, k),
                                memory_space=pltpu.VMEM),
-    )(th_pad, g, cbt, sbt)
+        scratch_shapes=[
+            pltpu.VMEM((np_, TK), jnp.float32),
+            pltpu.VMEM((np_, TK), jnp.float32),
+        ],
+    )(th_pad, g)
     return (dth,)
 
 
@@ -131,11 +159,11 @@ _torus_fused_2d.defvjp(_torus_fused_fwd, _torus_fused_bwd)
 def angles_to_torus_fused(angles: jnp.ndarray) -> jnp.ndarray:
     """Drop-in fused version of ``ops.torus.angles_to_torus`` (matmul path).
 
-    Falls back to the jnp implementation off-TPU or for d > 2048 (base
-    matrices too large for useful VMEM tiling at that point).
+    Falls back to the jnp implementation off-TPU or for degenerate dims.
+    The in-kernel basis generation removes the old d <= 2048 cap.
     """
     d = angles.shape[-1]
-    if d < 2 or d > 2048 or jax.default_backend() == "cpu":
+    if d < 2 or jax.default_backend() == "cpu":
         from cliffordtpu.ops.torus import MATMUL_MAX_DIM, angles_to_torus
 
         # explicit method: "auto" would re-enter this function when the

@@ -12,7 +12,7 @@ from cliffordtpu.ops.torus import angles_to_torus
 KEY = jax.random.PRNGKey(0)
 
 
-@pytest.mark.parametrize("d,B", [(8, 16), (64, 32), (129, 8)])
+@pytest.mark.parametrize("d,B", [(8, 16), (64, 32), (129, 8), (600, 4)])
 def test_fused_torus_matches_reference_interpret(d, B):
     from cliffordtpu.kernels import torus_pallas as tp
 
