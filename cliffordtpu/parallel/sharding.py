@@ -38,21 +38,59 @@ def _rule_for_path(path: tuple) -> P:
     return P()
 
 
-def infer_param_sharding(mesh: Mesh, params: Any):
-    """NamedSharding pytree for a param pytree (TP on transformer kernels)."""
+def _fsdp_rule(path: tuple, leaf, mesh: Mesh, min_size: int = 2 ** 14) -> P:
+    """ZeRO-3-style rule: shard each large leaf's largest divisible axis
+    over the "data" mesh axis.  GSPMD then all-gathers a layer's weights
+    just-in-time for its matmul and reduce-scatters its gradients — the
+    standard FSDP schedule, expressed purely as a placement annotation.
+
+    Small leaves (norm scales, biases, tiny heads) stay replicated: the
+    gather latency would exceed the memory win (``min_size`` elements).
+    """
+    ndata = mesh.shape["data"]
+    if not hasattr(leaf, "ndim") or leaf.ndim < 1 or leaf.size < min_size:
+        return P()
+    # TP rules take precedence on the transformer kernels (already sharded
+    # over "model"); FSDP shards the remaining axis if divisible
+    tp = _rule_for_path(path)
+    dims = list(tp) + [None] * (leaf.ndim - len(tp))
+    order = sorted(range(leaf.ndim), key=lambda a: -leaf.shape[a])
+    for ax in order:
+        if dims[ax] is None and leaf.shape[ax] % ndata == 0:
+            dims[ax] = "data"
+            return P(*dims)
+    return P(*dims)
+
+
+def infer_param_sharding(mesh: Mesh, params: Any, mode: str = "replicated"):
+    """NamedSharding pytree for a param pytree.
+
+    ``mode``: "replicated" (DP+TP; params replicated over "data") or
+    "fsdp" (additionally shard every large leaf over "data" — ZeRO-3).
+    """
+    if mode == "fsdp":
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(
+                mesh, _fsdp_rule(path, leaf, mesh)),
+            params,
+        )
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _rule_for_path(path)),
         params,
     )
 
 
-def shard_params(mesh: Mesh, params: Any):
-    return jax.device_put(params, infer_param_sharding(mesh, params))
+def shard_params(mesh: Mesh, params: Any, mode: str = "replicated"):
+    return jax.device_put(params, infer_param_sharding(mesh, params, mode))
 
 
-def shard_state(mesh: Mesh, state):
-    """Place a TrainState on the mesh: params + opt_state follow the rules."""
-    p_shard = infer_param_sharding(mesh, state.params)
+def shard_state(mesh: Mesh, state, mode: str = "replicated"):
+    """Place a TrainState on the mesh: params + opt_state follow the rules.
+
+    With ``mode="fsdp"`` the Adam moments are sharded exactly like their
+    parameters, so optimizer memory scales down with the data axis too.
+    """
+    p_shard = infer_param_sharding(mesh, state.params, mode)
     params = jax.device_put(state.params, p_shard)
 
     def shard_like(tree):
@@ -60,9 +98,9 @@ def shard_state(mesh: Mesh, state):
         def place(path, leaf):
             if hasattr(leaf, "ndim") and leaf.ndim >= 1:
                 try:
-                    return jax.device_put(
-                        leaf, NamedSharding(mesh, _rule_for_path(path))
-                    )
+                    rule = (_fsdp_rule(path, leaf, mesh) if mode == "fsdp"
+                            else _rule_for_path(path))
+                    return jax.device_put(leaf, NamedSharding(mesh, rule))
                 except Exception:
                     pass
             return jax.device_put(leaf, NamedSharding(mesh, P()))
