@@ -2,6 +2,8 @@
 xla_force_host_platform_device_count=8): DP-sharded step == single-device
 step on the gathered batch, TP rules apply, dryrun entry point works."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +95,43 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_under_driver_env():
+    """Regression for MULTICHIP_r01/r02: the driver exports
+    JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=8, but the
+    axon sitecustomize pins the live backend to ONE device anyway.  The
+    env-var-sniffing dryrun trusted the env, ran inline, and died with
+    "need 8 devices, have 1".  Simulate exactly that mismatch (env claims
+    8, live backend pinned to 1 via jax_num_cpu_devices) in a subprocess
+    and require dryrun_multichip(8) to succeed by re-exec'ing itself."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "flags = [f for f in os.environ.get('XLA_FLAGS', '').split()\n"
+        "         if 'force_host_platform' not in f]\n"
+        "flags.append('--xla_force_host_platform_device_count=8')\n"
+        "os.environ['XLA_FLAGS'] = ' '.join(flags)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 1)\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('DRIVER_ENV_DRYRUN_OK')\n"
+    )
+    r = subprocess.run(
+        [_sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "DRIVER_ENV_DRYRUN_OK" in r.stdout
+    assert "dryrun_multichip OK" in r.stdout
 
 
 def test_graft_entry_compiles():
