@@ -75,8 +75,22 @@ def build_jax_model(cfg: dict, dtype: str):
         distribution="clifford", img_size=cfg["img"], dtype=jdt)
 
 
+def _program_flops(compiled) -> float:
+    """Per-execution FLOP count from XLA's post-optimization cost
+    analysis (None when the backend doesn't expose it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+        return None
+
+
 def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
-                opt: str = "adamw") -> dict:
+                opt: str = "adamw", mesh_spec: str = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -97,14 +111,39 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
     state = create_train_state(key, model, x[:2], optimizer=opt, lr=1e-4)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     log(f"params: {n_params / 1e6:.1f}M")
-    step = make_cnn_train_step(model)
+    n_devices = 1
+    if mesh_spec:
+        from cliffordtpu.parallel.mesh import (
+            create_mesh,
+            data_sharding,
+            parse_mesh_spec,
+        )
+        from cliffordtpu.parallel.sharding import (
+            make_sharded_cnn_train_step,
+            shard_state,
+        )
+
+        mesh = create_mesh(parse_mesh_spec(mesh_spec))
+        n_devices = mesh.devices.size
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        state = shard_state(mesh, state)
+        x = jax.device_put(x, data_sharding(mesh, 4))
+        step = make_sharded_cnn_train_step(model, mesh)
+    else:
+        step = make_cnn_train_step(model)
     beta = jnp.float32(1.0)
+    # AOT: one explicit lower+compile, reused for warmup and measurement,
+    # and the source of the XLA FLOP count for the MFU fields
+    compiled = step.lower(state, x, key, beta).compile()
+    flops = _program_flops(compiled)
+    step = compiled
     for i in range(WARMUP_STEPS):
         state, losses = step(state, x, jax.random.fold_in(key, i), beta)
     jax.block_until_ready(losses["total_loss"])
     compile_s = time.time() - t0
     log(f"compile+warmup: {compile_s:.1f}s, "
-        f"loss {float(losses['total_loss']):.3f}")
+        f"loss {float(losses['total_loss']):.3f}"
+        + (f", {flops / 1e9:.1f} GFLOP/step" if flops else ""))
 
     import contextlib
 
@@ -128,8 +167,15 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
             log(f"jax window {w}: {n_steps} steps in {dt:.2f}s "
                 f"-> {sps:.3f} steps/s")
             best = max(best, sps)
-    return {"steps_per_sec": best, "compile_warmup_s": compile_s,
-            "params_m": n_params / 1e6}
+    res = {"steps_per_sec": best, "compile_warmup_s": compile_s,
+           "params_m": n_params / 1e6}
+    if flops:
+        # v5e bf16 peak: 197 TFLOP/s per chip
+        res["flops_per_step"] = flops
+        res["tflops_achieved"] = flops * best / 1e12
+        if dtype == "bfloat16":
+            res["mfu_bf16"] = res["tflops_achieved"] / (197.0 * n_devices)
+    return res
 
 
 def measure_torch_baseline(cfg: dict, batch: int, n_steps: int = 3) -> float:
@@ -220,6 +266,10 @@ def main():
                          "the per-leaf chain), kept for larger models")
     ap.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace of the measured steps")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="measure the pjit-sharded train step on a "
+                         "('data','model') mesh: 'dp', 'N', or 'NxM' "
+                         "(same step the runners use under --mesh)")
     args = ap.parse_args()
     if args.profile:
         global _PROFILE_DIR
@@ -231,7 +281,7 @@ def main():
     if args.batch_sweep:
         sweep = {}
         for b in (64, 128, 256, 512):
-            res = measure_jax(cfg, b, args.dtype, args.opt)
+            res = measure_jax(cfg, b, args.dtype, args.opt, args.mesh)
             sweep[str(b)] = {**res,
                              "steps_per_sec": round(res["steps_per_sec"], 3),
                              "images_per_sec": round(
@@ -244,10 +294,11 @@ def main():
             json.dump({"config": args.config, "dtype": args.dtype,
                        "sweep": sweep}, f, indent=2)
         log(f"wrote {out_path}")
-        jax_sps = sweep[str(batch)]["steps_per_sec"] if str(batch) in sweep \
-            else measure_jax(cfg, batch, args.dtype, args.opt)["steps_per_sec"]
+        jax_res = sweep[str(batch)] if str(batch) in sweep \
+            else measure_jax(cfg, batch, args.dtype, args.opt, args.mesh)
     else:
-        jax_sps = measure_jax(cfg, batch, args.dtype, args.opt)["steps_per_sec"]
+        jax_res = measure_jax(cfg, batch, args.dtype, args.opt, args.mesh)
+    jax_sps = jax_res["steps_per_sec"]
 
     if args.skip_baseline:
         baseline = None
@@ -265,6 +316,13 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(jax_sps / baseline, 2) if baseline else None,
     }
+    # MFU extras (VERDICT r02 item 5): XLA-counted FLOPs so perf
+    # regressions are visible across rounds without a by-hand profile
+    if jax_res.get("flops_per_step"):
+        out["flops_per_step"] = round(jax_res["flops_per_step"])
+        out["tflops_achieved"] = round(jax_res["tflops_achieved"], 2)
+        if "mfu_bf16" in jax_res:
+            out["mfu_bf16"] = round(jax_res["mfu_bf16"], 4)
     print(json.dumps(out))
 
 

@@ -53,6 +53,36 @@ def _read_idx(path: str) -> np.ndarray:
             f"corrupt or non-idx file {path!r}: {e}") from e
 
 
+def _verify_checksums(base: str, paths) -> None:
+    """If a ``SHA256SUMS`` manifest sits next to the data files, verify
+    every loaded file that it lists (format: ``<hex digest>  <filename>``
+    per line, the ``sha256sum`` convention).  Raises on mismatch so a
+    truncated download is caught at load time, not as silent bad data."""
+    manifest = os.path.join(base, "SHA256SUMS")
+    if not os.path.exists(manifest):
+        return
+    import hashlib
+
+    want = {}
+    with open(manifest) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                want[parts[1].lstrip("*")] = parts[0].lower()
+    for p in paths:
+        fname = os.path.basename(p)
+        if fname not in want:
+            continue
+        h = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want[fname]:
+            raise ValueError(
+                f"checksum mismatch for {p}: got {h.hexdigest()}, "
+                f"manifest says {want[fname]} — re-download the file")
+
+
 def _find_real(name: str):
     sub = {"mnist": "MNIST/raw", "fashionmnist": "FashionMNIST/raw"}.get(name)
     for root in _data_dirs():
@@ -62,6 +92,7 @@ def _find_real(name: str):
                                   os.path.join(root, sub) if sub else None]):
             npz = os.path.join(base, f"{name}.npz")
             if os.path.exists(npz):
+                _verify_checksums(base, [npz])
                 z = np.load(npz)
                 return {k: z[k] for k in
                         ("x_train", "y_train", "x_test", "y_test")}
@@ -79,6 +110,7 @@ def _find_real(name: str):
                         ok = False
                         break
                 if ok:
+                    _verify_checksums(base, paths)
                     return {
                         "x_train": _read_idx(paths[0]),
                         "y_train": _read_idx(paths[1]),

@@ -376,8 +376,15 @@ def test_cross_class_bind_unbind(
     class_names=None,
     key=None,
 ) -> Dict:
-    """One class pair, both unbind methods, 2x4 grid
-    (``wandb_utils.py:1399-1533``)."""
+    """One class pair, both unbind methods, reference 2x4 grid
+    (``wandb_utils.py:1399-1533``):
+
+    - row 1: A | B | decode(bind(A,B)) | decode(bundle(A,B)),
+      bundle = (a+b)/sqrt(2) (``:1459``)
+    - row 2: rec A (*) | rec B (*) | rec A (dagger) | rec B (dagger)
+    - gaussian latents are L2-normalized BEFORE binding (``:1455-1457``)
+      so circular-convolution binding operates on unit vectors
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -388,54 +395,74 @@ def test_cross_class_bind_unbind(
     ia = np.where(labels == class_a)[0]
     ib = np.where(labels == class_b)[0]
     if not len(ia) or not len(ib):
-        return {"plot_path": None}
+        return {"plot_path": None,
+                "cross_class_bind_unbind_similarity": 0.0,
+                "cross_class_bind_unbind_plot_path": None}
     za, zb = z_all[int(ia[0])], z_all[int(ib[0])]
+    if getattr(handle, "distribution", None) == "gaussian":
+        za = za / jnp.maximum(jnp.linalg.norm(za), 1e-12)
+        zb = zb / jnp.maximum(jnp.linalg.norm(zb), 1e-12)
     bound = bind(za, zb)
+    bundle = (za + zb) / np.sqrt(2.0)
 
-    rows = []
     sims = {}
+    recs = {}
     for method in ["*", "†"]:
         rec_a = unbind(bound, zb, method=method)
         rec_b = unbind(bound, za, method=method)
         sims[f"sim_a_{method}"] = float(similarity(rec_a, za))
         sims[f"sim_b_{method}"] = float(similarity(rec_b, zb))
-        rows.append([za, rec_a, zb, rec_b])
+        recs[method] = (rec_a, rec_b)
+    sim_star = 0.5 * (sims["sim_a_*"] + sims["sim_b_*"])
+    sim_dag = 0.5 * (sims["sim_a_†"] + sims["sim_b_†"])
 
     from cliffordtpu.eval.plots import to_image
 
-    flat = jnp.stack([v for row in rows for v in row], 0)
+    # decode order mirrors the reference ``torch.cat`` (:1489):
+    # a, b, bind, bundle, rec_a*, rec_b*, rec_a dagger, rec_b dagger
+    flat = jnp.stack([za, zb, bound, bundle,
+                      recs["*"][0], recs["*"][1],
+                      recs["†"][0], recs["†"][1]], 0)
     imgs = np.asarray(to_image(handle, handle.decode(flat)))
     imgs = imgs.reshape(-1, *img_shape)
     ih, iw = imgs.shape[1], imgs.shape[2]
-    canvas = np.zeros((2 * ih, 4 * iw, imgs.shape[3]))
-    k = 0
-    for r in range(2):
-        for c in range(4):
-            canvas[r * ih:(r + 1) * ih, c * iw:(c + 1) * iw] = imgs[k]
-            k += 1
+
+    def _cname(c):
+        return (class_names[c] if class_names and c < len(class_names)
+                else str(c))
 
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(
         output_dir, f"cross_class_bind_unbind_{class_a}v{class_b}.png")
-    fig, ax = plt.subplots(figsize=(8, 4.5))
-    if canvas.shape[-1] == 1:
-        ax.imshow(canvas[..., 0], cmap="gray")
-    else:
-        ax.imshow(canvas)
-    ax.set_xticks([iw * i + iw // 2 for i in range(4)])
-    ax.set_xticklabels([f"{class_a}", f"rec {class_a}",
-                        f"{class_b}", f"rec {class_b}"], fontsize=9)
-    ax.set_yticks([ih // 2, ih + ih // 2])
-    ax.set_yticklabels(["*", "†"], fontsize=12)
-    ax.set_title(
-        f"Cross-Class Bind/Unbind ({class_a} vs {class_b})  "
-        f"*: {sims['sim_a_*']:.2f}/{sims['sim_b_*']:.2f}  "
-        f"†: {sims['sim_a_†']:.2f}/{sims['sim_b_†']:.2f}")
+    fig, axes = plt.subplots(2, 4, figsize=(12, 6))
+    titles = [
+        f"A (cls {_cname(class_a)})", f"B (cls {_cname(class_b)})",
+        "decode bind(A,B)", "decode bundle(A,B)",
+        f"rec A (* {sim_star:.3f})", f"rec B (* {sim_star:.3f})",
+        f"rec A († {sim_dag:.3f})", f"rec B († {sim_dag:.3f})",
+    ]
+    for k in range(8):
+        ax = axes[k // 4][k % 4]
+        if imgs.shape[-1] == 1:
+            ax.imshow(imgs[k][..., 0], cmap="gray")
+        else:
+            ax.imshow(np.clip(imgs[k], 0, 1))
+        ax.set_title(titles[k], fontsize=9)
+        ax.axis("off")
+    fig.suptitle(f"Cross-Class Bind/Unbind ({handle.distribution})",
+                 fontsize=12, fontweight="bold")
     plt.tight_layout()
     plt.savefig(path, dpi=300, bbox_inches="tight")
     plt.close()
 
-    return {"plot_path": path, **sims}
+    return {
+        "plot_path": path,
+        "cross_class_bind_unbind_similarity": 0.5 * (sim_star + sim_dag),
+        "cross_class_bind_unbind_similarity_star": sim_star,
+        "cross_class_bind_unbind_similarity_dag": sim_dag,
+        "cross_class_bind_unbind_plot_path": path,
+        **sims,
+    }
 
 
 # reference-parity names, not pytest tests

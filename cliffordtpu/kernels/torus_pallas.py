@@ -54,14 +54,17 @@ def _fwd_kernel(th_ref, out_ref, cos_sc, sin_sc, *, d: int, TN: int):
         krow = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 0) + 1
         col = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 1) + j * TN
         phase = ((krow * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
-        valid = krow <= d - 1  # zero the padded k rows (th pad cols are 0
-        # but cos(0) = 1 would still contribute)
+        # zero the padded k rows (th pad cols are 0 but cos(0) = 1 would
+        # still contribute) AND the padded output columns col >= n, so the
+        # raw kernel output is correct even unsliced
+        valid = (krow <= d - 1) & (col < n)
         cos_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
         sin_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
 
     th = th_ref[:]
     col = (jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1) + j * TN)
-    const = jnp.where(col % 2 == 0, 2.0 / n, 0.0)  # (1 + (-1)^col)/n
+    # (1 + (-1)^col)/n, masked to the real n output columns
+    const = jnp.where((col % 2 == 0) & (col < n), 2.0 / n, 0.0)
     out_ref[:] = (
         jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
         + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
@@ -159,13 +162,16 @@ _torus_fused_2d.defvjp(_torus_fused_fwd, _torus_fused_bwd)
 def angles_to_torus_fused(angles: jnp.ndarray) -> jnp.ndarray:
     """Drop-in fused version of ``ops.torus.angles_to_torus`` (matmul path).
 
-    Falls back to the jnp implementation off-TPU or for degenerate dims.
-    The in-kernel basis generation removes the old d <= 2048 cap.
+    Falls back to the jnp implementation off-TPU, for degenerate dims, and
+    for d > MATMUL_MAX_DIM (4096): past that, the backward pass's g tile
+    (TB x 2d) plus two (2d, TK) basis scratch tiles outgrow the ~16 MB
+    VMEM budget (~12 MB at d=4096 already), so larger dims would fail at
+    compile time instead of degrading — route them to the FFT path.
     """
-    d = angles.shape[-1]
-    if d < 2 or jax.default_backend() == "cpu":
-        from cliffordtpu.ops.torus import MATMUL_MAX_DIM, angles_to_torus
+    from cliffordtpu.ops.torus import MATMUL_MAX_DIM, angles_to_torus
 
+    d = angles.shape[-1]
+    if d < 2 or d > MATMUL_MAX_DIM or jax.default_backend() == "cpu":
         # explicit method: "auto" would re-enter this function when the
         # CLIFFORDTPU_TORUS_METHOD=pallas opt-in is set (infinite recursion)
         return angles_to_torus(

@@ -117,9 +117,15 @@ def angles_to_torus(angles: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     """
     d = angles.shape[-1]
     if method == "auto":
-        # CLIFFORDTPU_TORUS_METHOD=pallas opts the fused TPU kernel in
-        # globally (measured up to 1.9x vs the XLA matmul path on v5e,
-        # bit-identical results; see kernels/torus_pallas.py)
+        # DEFAULT = XLA matmul (fft past MATMUL_MAX_DIM), decided by
+        # end-to-end measurement (BASELINE.md "Pallas fused torus" study):
+        # the Pallas kernel wins ISOLATED timings (up to 1.9x, d<=1024
+        # fwd, d=4096 bwd) but LOSES inside the cnn4096 train step
+        # (102.6 vs 142.1 steps/s on v5e) because pallas_call is an
+        # opaque boundary that blocks XLA from fusing the surrounding
+        # cos/sin sampler ops into the matmuls.  It therefore stays
+        # opt-in: CLIFFORDTPU_TORUS_METHOD=pallas globally, or
+        # method="pallas" per call (bit-identical results either way).
         method = (os.environ.get("CLIFFORDTPU_TORUS_METHOD")
                   or ("matmul" if d <= MATMUL_MAX_DIM else "fft"))
     if method == "pallas":

@@ -35,6 +35,24 @@ def create_mesh(
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def parse_mesh_spec(spec: str, n_devices: Optional[int] = None
+                    ) -> Tuple[int, int]:
+    """Parse a CLI mesh spec into a (data, model) shape.
+
+    ``"dp"``/``"auto"`` — all local devices on the data axis (pure DP,
+    the BASELINE.json north-star configuration); ``"N"`` — N-way DP;
+    ``"NxM"`` — N-way DP x M-way TP.
+    """
+    n = n_devices if n_devices is not None else len(jax.devices())
+    s = spec.strip().lower()
+    if s in ("dp", "auto"):
+        return (n, 1)
+    if "x" in s:
+        d, m = s.split("x", 1)
+        return (int(d), int(m))
+    return (int(s), 1)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 (batch) over the data axis, replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

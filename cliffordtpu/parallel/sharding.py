@@ -18,6 +18,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -62,16 +63,19 @@ def _fsdp_rule(path: tuple, leaf, mesh: Mesh, min_size: int = 2 ** 14) -> P:
     return P(*dims)
 
 
-def infer_param_sharding(mesh: Mesh, params: Any, mode: str = "replicated"):
+def infer_param_sharding(mesh: Mesh, params: Any, mode: str = "replicated",
+                         fsdp_min_size: int = 2 ** 14):
     """NamedSharding pytree for a param pytree.
 
     ``mode``: "replicated" (DP+TP; params replicated over "data") or
     "fsdp" (additionally shard every large leaf over "data" — ZeRO-3).
+    ``fsdp_min_size``: element-count cutoff below which a leaf stays
+    replicated under fsdp (gather latency beats the memory win).
     """
     if mode == "fsdp":
         return jax.tree_util.tree_map_with_path(
             lambda path, leaf: NamedSharding(
-                mesh, _fsdp_rule(path, leaf, mesh)),
+                mesh, _fsdp_rule(path, leaf, mesh, fsdp_min_size)),
             params,
         )
     return jax.tree_util.tree_map_with_path(
@@ -84,13 +88,14 @@ def shard_params(mesh: Mesh, params: Any, mode: str = "replicated"):
     return jax.device_put(params, infer_param_sharding(mesh, params, mode))
 
 
-def shard_state(mesh: Mesh, state, mode: str = "replicated"):
+def shard_state(mesh: Mesh, state, mode: str = "replicated",
+                fsdp_min_size: int = 2 ** 14):
     """Place a TrainState on the mesh: params + opt_state follow the rules.
 
     With ``mode="fsdp"`` the Adam moments are sharded exactly like their
     parameters, so optimizer memory scales down with the data axis too.
     """
-    p_shard = infer_param_sharding(mesh, state.params, mode)
+    p_shard = infer_param_sharding(mesh, state.params, mode, fsdp_min_size)
     params = jax.device_put(state.params, p_shard)
 
     def shard_like(tree):
@@ -98,8 +103,8 @@ def shard_state(mesh: Mesh, state, mode: str = "replicated"):
         def place(path, leaf):
             if hasattr(leaf, "ndim") and leaf.ndim >= 1:
                 try:
-                    rule = (_fsdp_rule(path, leaf, mesh) if mode == "fsdp"
-                            else _rule_for_path(path))
+                    rule = (_fsdp_rule(path, leaf, mesh, fsdp_min_size)
+                            if mode == "fsdp" else _rule_for_path(path))
                     return jax.device_put(leaf, NamedSharding(mesh, rule))
                 except Exception:
                     pass
@@ -144,6 +149,7 @@ def make_sharded_cnn_train_step(model, mesh: Mesh):
             return losses["total_loss"], losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        losses["grad_norm"] = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         return state, losses
 

@@ -186,14 +186,52 @@ def build_model(args, dist_name: str, latent_dim: int, in_channels: int):
 
 def train_model(args, model, x_train, x_test, run_key, logger=None):
     """Train with cyclic beta + best-on-(recon+kld) selection
-    (``fashion_train.py:833-893``)."""
+    (``fashion_train.py:833-893``).
+
+    ``--mesh dp|N|NxM`` trains under pjit on a ("data","model") device
+    mesh — batch sharded over "data", params per the TP rules (replicated
+    in pure DP), optionally FSDP via ``--mesh_mode fsdp``.  Same math as
+    the single-device step (tests/test_parallel.py), unlike the reference
+    which hardcodes one device (``cnn/fashion_train.py:46-50``).
+    """
+    mesh = None
+    mesh_spec = getattr(args, "mesh", None)
+    if mesh_spec:
+        from cliffordtpu.parallel.data import make_global_batch
+        from cliffordtpu.parallel.mesh import create_mesh, parse_mesh_spec
+        from cliffordtpu.parallel.sharding import (
+            make_sharded_cnn_train_step,
+            shard_state,
+        )
+
+        if getattr(args, "scan_epochs", False):
+            raise ValueError("--mesh is not supported with --scan_epochs")
+        mesh = create_mesh(parse_mesh_spec(mesh_spec))
+        ndata = mesh.shape["data"]
+        if args.batch_size % ndata != 0:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"data axis ({ndata}) of mesh {mesh_spec}")
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+              f"mode {getattr(args, 'mesh_mode', 'replicated')}")
+
     state = create_train_state(
         run_key, model, jnp.asarray(x_train[:2]), optimizer="adamw",
         lr=args.cur_lr, clip_norm=1.0,
         sigma_lr_scale=0.1 if args.use_learnable_beta else None)
     use_scan = bool(getattr(args, "scan_epochs", False))
-    train_step = None if use_scan else make_cnn_train_step(model)
-    epoch_step = make_cnn_epoch_step(model) if use_scan else None
+    if mesh is not None:
+        state = shard_state(mesh, state,
+                            mode=getattr(args, "mesh_mode", "replicated"))
+        train_step = make_sharded_cnn_train_step(model, mesh)
+        epoch_step = None
+
+        def to_device(batch):
+            return make_global_batch(mesh, np.ascontiguousarray(batch))
+    else:
+        train_step = None if use_scan else make_cnn_train_step(model)
+        epoch_step = make_cnn_epoch_step(model) if use_scan else None
+        to_device = jnp.asarray
     eval_step = make_cnn_eval_step(model)
 
     n = len(x_train)
@@ -218,22 +256,23 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
             state, ep_losses = epoch_step(state, batches, ekey, beta_arr)
             tr_dev = (ep_losses["total_loss"].sum(),
                       ep_losses["recon_loss"].sum(),
-                      ep_losses["kld_loss"].sum())
+                      ep_losses["kld_loss"].sum(),
+                      ep_losses["grad_norm"].sum())
         else:
             tr_dev = None
             for s in range(steps):
-                xb = jnp.asarray(
+                xb = to_device(
                     x_train[perm[s * args.batch_size:
                                  (s + 1) * args.batch_size]])
                 state, losses = train_step(
                     state, xb, jax.random.fold_in(ekey, s + 1), beta_arr)
                 cur = (losses["total_loss"], losses["recon_loss"],
-                       losses["kld_loss"])
+                       losses["kld_loss"], losses["grad_norm"])
                 # device-side accumulation: one transfer per epoch
                 tr_dev = cur if tr_dev is None else tuple(
                     a + b for a, b in zip(tr_dev, cur))
         tr = {"total": float(tr_dev[0]), "recon": float(tr_dev[1]),
-              "kld": float(tr_dev[2])}
+              "kld": float(tr_dev[2]), "grad_norm": float(tr_dev[3])}
 
         # test epoch (beta=1 like test_epoch, fashion_train.py:113)
         te = {"total": 0.0, "recon": 0.0, "kld": 0.0}
@@ -273,6 +312,10 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
                 "train/total_loss": tr["total"] / steps,
                 "train/recon_loss": tr["recon"] / steps,
                 "train/kld_loss": tr["kld"] / steps,
+                # epoch-mean pre-clip global grad norm: the JAX stand-in
+                # for torch ``wandb.watch(model, log="gradients")``
+                # (reference wandb_utils.py:306-310, fashion_train.py:884)
+                "train/grad_norm": tr["grad_norm"] / steps,
                 "test/total_loss": te["total"],
                 "test/recon_loss": te["recon"],
                 "test/kld_loss": te["kld"],
@@ -377,32 +420,6 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                     save_checkpoint(output_dir, state, step=0,
                                     best_metric=best)
 
-                # optional IWAE log-likelihood bound (extension beyond the
-                # reference, which has IWAE only for the MLP runners)
-                iwae_ll = None
-                if getattr(args, "iwae_samples", 0):
-                    try:
-                        from cliffordtpu.nn.losses import (
-                            iwae_log_likelihood_cnn,
-                        )
-
-                        n_eval = min(256, len(x_test))
-                        tot, bs = 0.0, 64
-                        for s in range(0, n_eval, bs):
-                            xb = jnp.asarray(x_test[s:s + bs])
-                            tot += float(iwae_log_likelihood_cnn(
-                                jax.random.fold_in(run_key, 7700 + s),
-                                model, state.params, xb,
-                                n_samples=args.iwae_samples,
-                                recon_loss_type=args.recon_loss,
-                            )) * len(xb)
-                        iwae_ll = tot / n_eval
-                        print(f"IWAE-{args.iwae_samples} test ll/image: "
-                              f"{iwae_ll:.2f}")
-                    except Exception as e:  # eval must not kill the sweep
-                        print(f"iwae eval failed: {e}")
-                        iwae_ll = None
-
                 eval_start_time = time.time()
 
                 # --eval_subprocess: run the battery in a fresh CPU-only
@@ -426,6 +443,36 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 eval_root = (jax.device_put(run_key, eval_dev)
                              if eval_dev is not None else run_key)
                 ekey = jax.random.fold_in(eval_root, 777)
+
+                # optional IWAE log-likelihood bound (extension beyond the
+                # reference, which has IWAE only for the MLP runners).
+                # Runs INSIDE the CPU eval context like the rest of the
+                # battery — the axon TPU backend sporadically throws
+                # per-op UNIMPLEMENTED, and a flake here would silently
+                # drop the metric.
+                iwae_ll = None
+                if getattr(args, "iwae_samples", 0):
+                    def _iwae():
+                        from cliffordtpu.nn.losses import (
+                            iwae_log_likelihood_cnn,
+                        )
+
+                        n_eval = min(256, len(x_test))
+                        tot, bs = 0.0, 64
+                        for s in range(0, n_eval, bs):
+                            xb = jnp.asarray(x_test[s:s + bs])
+                            tot += float(iwae_log_likelihood_cnn(
+                                jax.random.fold_in(eval_root, 7700 + s),
+                                model, eval_params, xb,
+                                n_samples=args.iwae_samples,
+                                recon_loss_type=args.recon_loss,
+                            )) * len(xb)
+                        ll = tot / n_eval
+                        print(f"IWAE-{args.iwae_samples} test ll/image: "
+                              f"{ll:.2f}")
+                        return ll
+
+                    iwae_ll = safe_eval("iwae_ll", _iwae, None)
 
                 # item memory of flat sampled latents (:909-925)
                 n_mem = min(1000, len(x_test))

@@ -14,6 +14,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from cliffordtpu.data.loaders import binarize_with_random_threshold
 from cliffordtpu.nn.losses import vae_loss_from_outputs
@@ -36,6 +37,7 @@ def make_mlp_train_step(model, binarize: bool = True):
             return losses["total"], losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        losses["grad_norm"] = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         return state, losses
 
@@ -79,6 +81,10 @@ def make_cnn_train_step(model):
             return losses["total_loss"], losses
 
         grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        # pre-clip global grad norm: the JAX stand-in for torch
+        # ``wandb.watch(model, log="gradients")`` (wandb_utils.py:306-310)
+        # — free, XLA CSEs it with the clip's own norm computation
+        losses["grad_norm"] = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         return state, losses
 
@@ -220,6 +226,7 @@ def make_mlp_epoch_step(model, binarize: bool = True):
                 return losses["total"], losses
 
             grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            losses["grad_norm"] = optax.global_norm(grads)
             return state.apply_gradients(grads=grads), losses
 
         S = batches.shape[0]
@@ -260,6 +267,7 @@ def make_cnn_epoch_step(model):
                 return losses["total_loss"], losses
 
             grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            losses["grad_norm"] = optax.global_norm(grads)
             return state.apply_gradients(grads=grads), losses
 
         S = batches.shape[0]

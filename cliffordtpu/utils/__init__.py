@@ -92,8 +92,10 @@ class WandbLogger:
             self.run = self._wandb.init(
                 project=self.project, name=name, config=vars(args))
 
-    def watch_model(self, model):
-        pass  # gradient watching is torch-specific; metrics cover parity
+    # the reference's ``watch_model`` (wandb.watch gradient histograms,
+    # wandb_utils.py:306-310) has no torch-hook equivalent in JAX; its
+    # role is covered by the per-epoch ``train/grad_norm`` metric the
+    # train steps compute in-graph (train/loop.py) and the runners log.
 
     def log_metrics(self, d):
         if self.use and self.run is not None:

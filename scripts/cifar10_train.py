@@ -61,6 +61,17 @@ def build_parser():
     p.add_argument("--eval_subprocess", action="store_true",
                    help="run the eval battery in a fresh CPU-only process "
                         "(recommended on the axon TPU; see CLAUDE.md)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="train under pjit on a ('data','model') device "
+                        "mesh: 'dp' = all local devices data-parallel, "
+                        "'N' = N-way DP, 'NxM' = DP x TP (batch_size must "
+                        "divide by N). Default: single device, like the "
+                        "reference (cnn/cifar10_train.py:42-46)")
+    p.add_argument("--mesh_mode", type=str, default="replicated",
+                   choices=["replicated", "fsdp"],
+                   help="param placement under --mesh: replicated (DP/TP) "
+                        "or fsdp (ZeRO-3: params+moments sharded over the "
+                        "data axis)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts)")

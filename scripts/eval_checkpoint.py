@@ -124,15 +124,15 @@ def main():
         test_per_class_bundle_capacity_k_items,
     )
 
-    ckpt = load_checkpoint(args.ckpt)
-    if ckpt is None:
-        print(f"error: no checkpoint in {args.ckpt}", file=sys.stderr)
-        return 2
-
     in_channels = 3 if args.dataset == "cifar10" else 1
     img_shape = (args.img_size, args.img_size, in_channels)
     model = build_model(args.arch, args.distribution, args.latent_dim,
                         in_channels, args.img_size, args.l2_normalize)
+    from cliffordtpu.train.checkpoint import model_n_heads
+    ckpt = load_checkpoint(args.ckpt, n_heads=model_n_heads(model))
+    if ckpt is None:
+        print(f"error: no checkpoint in {args.ckpt}", file=sys.stderr)
+        return 2
     handle = ModelHandle(model, ckpt["params"])
     ds = load_dataset(args.dataset, n_train=args.limit_train,
                       n_test=args.limit_test)

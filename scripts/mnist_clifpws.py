@@ -166,6 +166,14 @@ def _batches(x, y, bs):
 def run(args):
     from cliffordtpu.utils.compile_cache import enable_persistent_cache
 
+    # --distributions subsets the reference's fixed family list (an
+    # extension; the reference always runs all four)
+    dists = getattr(args, "distributions", None) or DISTRIBUTIONS
+    for d in dists:
+        if d not in DISTRIBUTIONS:
+            raise SystemExit(f"unknown distribution {d!r}; "
+                             f"choose from {DISTRIBUTIONS}")
+
     script_start_time = time.time()
     timing_results = {}
     enable_persistent_cache()
@@ -192,13 +200,13 @@ def run(args):
 
     for mdim in args.d_dims:
         print(f"\n{'=' * 30}\n==d = {mdim} ==\n{'=' * 30}")
-        agg_results = {d: {s: [] for s in KNN_SAMPLES} for d in DISTRIBUTIONS}
-        agg_f1 = {d: {s: [] for s in KNN_SAMPLES} for d in DISTRIBUTIONS}
+        agg_results = {d: {s: [] for s in KNN_SAMPLES} for d in dists}
+        agg_f1 = {d: {s: [] for s in KNN_SAMPLES} for d in dists}
         agg_metrics = {d: {"ll": [], "entropy": [], "recon": [], "kl": []}
-                       for d in DISTRIBUTIONS}
-        agg_mvc = {d: [] for d in DISTRIBUTIONS}
+                       for d in dists}
+        agg_mvc = {d: [] for d in dists}
 
-        for dist in DISTRIBUTIONS:
+        for dist in dists:
             model_z_dim = mdim + 1 if dist == "powerspherical" else mdim
             if dist == "clifford" and mdim < 2:
                 continue
@@ -505,7 +513,7 @@ def run(args):
 
         # unified mean±std row per dim (reference :659-684)
         row = {"d": mdim}
-        for dist in DISTRIBUTIONS:
+        for dist in dists:
             D = dist.upper()
             for s in KNN_SAMPLES:
                 accs, f1s = agg_results[dist][s], agg_f1[dist][s]
@@ -573,6 +581,10 @@ def build_parser():
                         help="compile each training epoch as ONE lax.scan "
                              "program (device-bound throughput on slow "
                              "hosts; same losses as the per-step path)")
+    parser.add_argument("--distributions", type=str, nargs="+", default=None,
+                        help="subset of the latent families to run "
+                             f"(default: all of {DISTRIBUTIONS}; an "
+                             "extension — the reference always runs all)")
     return parser
 
 

@@ -288,8 +288,12 @@ def main(argv=None):
                                f"{args.runner}_timing.json"), "w") as fh:
             json.dump(cumulative_timing, fh, indent=2)
         aggregate(args, dataset, statuses)
+    # exit code: 0 all ok, 1 every trial failed, 2 partial failures — so a
+    # driver/CI can detect incomplete sweeps without parsing the logs
     n_failed = sum(1 for s in statuses if s["status"] == "failed")
-    return 1 if n_failed and n_failed == len(statuses) else 0
+    if not n_failed:
+        return 0
+    return 1 if n_failed == len(statuses) else 2
 
 
 if __name__ == "__main__":

@@ -134,6 +134,49 @@ def test_graft_entry_dryrun_under_driver_env():
     assert "dryrun_multichip OK" in r.stdout
 
 
+def test_runner_trains_under_mesh_and_matches_single_device():
+    """VERDICT r02 item 2: a user command trains the flagship model under
+    pjit DP.  Drive runners.cnn_runner.train_model with --mesh dp /
+    --mesh 4x2 on the 8-device CPU mesh and require the training result to
+    match the single-device run (same data, same keys) within tolerance."""
+    from types import SimpleNamespace
+
+    from cliffordtpu.runners.cnn_runner import train_model
+
+    def make_args(mesh=None, mesh_mode="replicated"):
+        return SimpleNamespace(
+            cur_lr=1e-3, use_learnable_beta=False, epochs=2, batch_size=8,
+            warmup_epochs=1, cycle_epochs=4, min_beta=0.1, max_beta=1.0,
+            patience=0, mesh=mesh, mesh_mode=mesh_mode, scan_epochs=False,
+        )
+
+    model = _tiny_model()
+    rng = np.random.default_rng(0)
+    x_train = rng.uniform(-1, 1, (24, 32, 32, 1)).astype(np.float32)
+    x_test = rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32)
+
+    _, best_single, _ = train_model(
+        make_args(), model, x_train, x_test, KEY)
+    _, best_dp, _ = train_model(
+        make_args(mesh="dp"), model, x_train, x_test, KEY)
+    _, best_tp, _ = train_model(
+        make_args(mesh="4x2"), model, x_train, x_test, KEY)
+
+    assert np.isfinite(best_single)
+    np.testing.assert_allclose(best_dp, best_single, rtol=2e-4)
+    np.testing.assert_allclose(best_tp, best_single, rtol=2e-4)
+
+    # bad specs fail loudly
+    with pytest.raises(ValueError, match="divisible"):
+        bad = make_args(mesh="dp")
+        bad.batch_size = 6
+        train_model(bad, model, x_train, x_test, KEY)
+    with pytest.raises(ValueError, match="scan_epochs"):
+        bad = make_args(mesh="dp")
+        bad.scan_epochs = True
+        train_model(bad, model, x_train, x_test, KEY)
+
+
 def test_graft_entry_compiles():
     import __graft_entry__ as g
 
@@ -157,9 +200,11 @@ def test_make_global_batch_single_process():
 
 
 def test_fsdp_mode_shards_params_and_matches_single_device():
-    """mode="fsdp" (ZeRO-3 via GSPMD annotations): large leaves sharded
-    over "data" (per-device bytes actually shrink), loss identical to the
-    single-device step for the same global batch."""
+    """mode="fsdp" (ZeRO-3 via GSPMD annotations), stressed beyond one
+    step (VERDICT r02 item 9): 5 training steps FSDP on an 8-way data
+    axis vs the single-device step agree at every step, large leaves are
+    sharded exactly 8x per device, and total per-device param+moment
+    bytes genuinely shrink."""
     from cliffordtpu.parallel.sharding import _fsdp_rule  # noqa: F401
 
     model = _tiny_model()
@@ -169,33 +214,58 @@ def test_fsdp_mode_shards_params_and_matches_single_device():
     state2 = create_train_state(KEY, model, x[:2], optimizer="adamw",
                                 lr=1e-4)
 
-    mesh = create_mesh((4, 2))
-    state2 = shard_state(mesh, state2, mode="fsdp")
+    mesh = create_mesh((8, 1))
+    # lower the min-size cutoff so the tiny test model's leaves behave
+    # like a production model's (most bytes above the cutoff)
+    state2 = shard_state(mesh, state2, mode="fsdp", fsdp_min_size=2 ** 10)
 
-    # at least one large leaf is genuinely sharded over "data"
     def leaf_is_data_sharded(leaf):
         s = getattr(leaf, "sharding", None)
         return (s is not None and hasattr(s, "spec")
                 and "data" in jax.tree_util.tree_leaves(tuple(s.spec)))
 
+    def local_vs_global_bytes(tree):
+        loc = glob = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if not hasattr(leaf, "addressable_shards"):
+                continue
+            glob += leaf.nbytes
+            loc += leaf.addressable_shards[0].data.nbytes
+        return loc, glob
+
     sharded = [leaf for leaf in jax.tree_util.tree_leaves(state2.params)
                if leaf_is_data_sharded(leaf)]
     assert sharded, "no parameter leaf was FSDP-sharded"
-    big = max(sharded, key=lambda a: a.size)
-    local = big.addressable_shards[0].data.size
-    assert local < big.size, (local, big.size)
+    # every FSDP-sharded leaf holds exactly 1/8 of its elements per device
+    for leaf in sharded:
+        local = leaf.addressable_shards[0].data.size
+        assert local * 8 == leaf.size, (local, leaf.size)
+    # the large leaves dominate, so TOTAL per-device bytes shrink ~8x
+    # (not exactly 1/8: norm scales / tiny leaves stay replicated below
+    # the min-size cutoff)
+    p_loc, p_glob = local_vs_global_bytes(state2.params)
+    assert p_loc < 0.2 * p_glob, (p_loc, p_glob)
     # moments follow their parameters
     m_sharded = [leaf for leaf in jax.tree_util.tree_leaves(state2.opt_state)
                  if leaf_is_data_sharded(leaf)]
     assert m_sharded, "no optimizer moment was FSDP-sharded"
+    m_loc, m_glob = local_vs_global_bytes(state2.opt_state)
+    assert m_loc < 0.3 * m_glob, (m_loc, m_glob)
 
     step_single = make_cnn_train_step(model)
     step_fsdp = make_sharded_cnn_train_step(model, mesh)
     beta = jnp.float32(1.0)
-    for i in range(2):
+    for i in range(5):
         k = jax.random.fold_in(KEY, i)
         state1, l1 = step_single(state1, x, k, beta)
         state2, l2 = step_fsdp(state2, x, k, beta)
-    np.testing.assert_allclose(float(l1["total_loss"]),
-                               float(l2["total_loss"]),
-                               rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(float(l1["total_loss"]),
+                                   float(l2["total_loss"]),
+                                   rtol=5e-5, atol=2e-4)
+        np.testing.assert_allclose(float(l1["grad_norm"]),
+                                   float(l2["grad_norm"]),
+                                   rtol=5e-4, atol=2e-4)
+    # params remain sharded after 5 donated-update steps
+    still = [leaf for leaf in jax.tree_util.tree_leaves(state2.params)
+             if leaf_is_data_sharded(leaf)]
+    assert len(still) == len(sharded)

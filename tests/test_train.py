@@ -80,6 +80,79 @@ def test_checkpoint_roundtrip(tmp_path):
     assert load_checkpoint(str(tmp_path)) is None
 
 
+def test_legacy_vit_checkpoint_rope_migration(tmp_path):
+    """Pre-v2 checkpoints hold ViT q/k kernels in the interleaved RoPE
+    layout; loading must (a) refuse without n_heads, (b) permute them (and
+    the adam moments) to the half-split layout so attention is unchanged.
+    Constructed by inverse-permuting a current checkpoint's q/k columns
+    (exactly what a v1 training run would have stored) and deleting the
+    layout tag."""
+    import os
+    import orbax.checkpoint as ocp
+
+    from cliffordtpu.nn import CliffordARVAE
+    from cliffordtpu.train.checkpoint import (
+        _CKPT_NAME,
+        _rope_half_perm,
+        model_n_heads,
+    )
+
+    model = CliffordARVAE(
+        latent_dim=4, image_size=32, in_channels=1, distribution="clifford",
+        cnn_chs=[16, 64, 128], z_channels=128, encoder_vit_layers=1,
+        decoder_vit_layers=1, patch_size=4,
+    )
+    n_heads = model_n_heads(model)
+    assert n_heads == 2
+    x = jnp.zeros((2, 32, 32, 1))
+    state = create_train_state(KEY, model, x, optimizer="adamw", lr=1e-4)
+    save_checkpoint(str(tmp_path), state, step=3, best_metric=0.5)
+    current = load_checkpoint(str(tmp_path))
+    assert current["rope_layout"] == "half"
+
+    # forge the v1 payload: inverse-permute every Attention q/k kernel,
+    # drop the format tags
+    def invert(tree):
+        if isinstance(tree, (list, tuple)):
+            for v in tree:
+                invert(v)
+            return
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            if str(k).startswith("Attention_") and isinstance(v, dict):
+                for dense in ("Dense_0", "Dense_1"):
+                    kern = v[dense]["kernel"]
+                    perm = _rope_half_perm(kern.shape[1], n_heads)
+                    inv = np.empty_like(perm)
+                    inv[perm] = np.arange(len(perm))
+                    v[dense]["kernel"] = np.asarray(kern)[:, inv]
+            invert(v)
+
+    import copy
+    legacy = {k: copy.deepcopy(v) for k, v in current.items()
+              if k not in ("rope_layout", "format_version")}
+    invert(legacy["params"])
+    invert(legacy["opt_state"])
+    import shutil
+    shutil.rmtree(os.path.join(str(tmp_path), _CKPT_NAME))
+    ocp.PyTreeCheckpointer().save(
+        os.path.join(str(tmp_path), _CKPT_NAME), legacy)
+
+    with pytest.raises(ValueError, match="pre-v2"):
+        load_checkpoint(str(tmp_path))
+
+    migrated = load_checkpoint(str(tmp_path), n_heads=n_heads)
+    assert migrated["rope_layout"] == "half"
+    ref_leaves = jax.tree_util.tree_leaves_with_path(current["params"])
+    mig = migrated["params"]
+    for path, leaf in ref_leaves:
+        got = mig
+        for p in path:
+            got = got[getattr(p, "key", None) or str(p)]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(got))
+
+
 def test_nan_guard():
     assert nan_guard(1.0) == 1.0
     with pytest.raises(NaNLossError):
