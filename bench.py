@@ -60,7 +60,7 @@ def metric_name(cfg_name: str, cfg: dict, batch: int) -> str:
     return f"{prefix}_train_steps_per_sec_b{batch}_{cfg['img']}px"
 
 
-def build_jax_model(cfg: dict, dtype: str):
+def build_jax_model(cfg: dict, dtype: str, scan_layers: bool = False):
     import jax.numpy as jnp
 
     from cliffordtpu.nn import CliffordARVAE, CNNVAE
@@ -69,7 +69,8 @@ def build_jax_model(cfg: dict, dtype: str):
     if cfg["model"] == "vit":
         return CliffordARVAE(
             latent_dim=cfg["latent"], image_size=cfg["img"],
-            in_channels=cfg["in_ch"], distribution="clifford", dtype=jdt)
+            in_channels=cfg["in_ch"], distribution="clifford", dtype=jdt,
+            scan_layers=scan_layers)
     return CNNVAE(
         latent_dim=cfg["latent"], in_channels=cfg["in_ch"],
         distribution="clifford", img_size=cfg["img"], dtype=jdt)
@@ -90,7 +91,8 @@ def _program_flops(compiled) -> float:
 
 
 def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
-                opt: str = "adamw", mesh_spec: str = None) -> dict:
+                opt: str = "adamw", mesh_spec: str = None,
+                xla_opts: dict = None, scan_layers: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +105,7 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
 
     log(f"jax devices: {jax.devices()}, compute dtype: {dtype}, "
         f"config: {cfg}, batch {batch}")
-    model = build_jax_model(cfg, dtype)
+    model = build_jax_model(cfg, dtype, scan_layers)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(
         key, (batch, cfg["img"], cfg["img"], cfg["in_ch"])) * 2.0 - 1.0
@@ -133,8 +135,12 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
         step = make_cnn_train_step(model)
     beta = jnp.float32(1.0)
     # AOT: one explicit lower+compile, reused for warmup and measurement,
-    # and the source of the XLA FLOP count for the MFU fields
-    compiled = step.lower(state, x, key, beta).compile()
+    # and the source of the XLA FLOP count for the MFU fields.
+    # --xla_opts forwards TPU compiler options per-compile (the axon
+    # client rejects TPU flags in XLA_FLAGS; compiler_options reach the
+    # remote compiler)
+    compiled = step.lower(state, x, key, beta).compile(
+        compiler_options=xla_opts or None)
     flops = _program_flops(compiled)
     step = compiled
     for i in range(WARMUP_STEPS):
@@ -270,7 +276,19 @@ def main():
                     help="measure the pjit-sharded train step on a "
                          "('data','model') mesh: 'dp', 'N', or 'NxM' "
                          "(same step the runners use under --mesh)")
+    ap.add_argument("--scan_layers", action="store_true",
+                    help="layer-stacked lax.scan ViT blocks instead of "
+                         "unrolled (identical math; compile-time lever)")
+    ap.add_argument("--xla_opts", type=str, default=None,
+                    help="comma-separated k=v TPU compiler options passed "
+                         "per-compile (XLA_FLAGS can't carry TPU flags "
+                         "through the axon client), e.g. "
+                         "xla_tpu_enable_latency_hiding_scheduler=true")
     args = ap.parse_args()
+    xla_opts = None
+    if args.xla_opts:
+        xla_opts = dict(kv.split("=", 1) for kv in args.xla_opts.split(","))
+        log(f"compiler options: {xla_opts}")
     if args.profile:
         global _PROFILE_DIR
         _PROFILE_DIR = args.profile
@@ -281,7 +299,7 @@ def main():
     if args.batch_sweep:
         sweep = {}
         for b in (64, 128, 256, 512):
-            res = measure_jax(cfg, b, args.dtype, args.opt, args.mesh)
+            res = measure_jax(cfg, b, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
             sweep[str(b)] = {**res,
                              "steps_per_sec": round(res["steps_per_sec"], 3),
                              "images_per_sec": round(
@@ -295,9 +313,9 @@ def main():
                        "sweep": sweep}, f, indent=2)
         log(f"wrote {out_path}")
         jax_res = sweep[str(batch)] if str(batch) in sweep \
-            else measure_jax(cfg, batch, args.dtype, args.opt, args.mesh)
+            else measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
     else:
-        jax_res = measure_jax(cfg, batch, args.dtype, args.opt, args.mesh)
+        jax_res = measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
     jax_sps = jax_res["steps_per_sec"]
 
     if args.skip_baseline:

@@ -157,6 +157,47 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _ScanBlockBody(nn.Module):
+    """``TransformerBlock`` adapted to the (carry, out) contract of
+    ``nn.scan``; used by the opt-in ``scan_layers`` stacks below."""
+
+    d_model: int
+    n_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        return TransformerBlock(self.d_model, self.n_heads,
+                                dtype=self.dtype)(x, cos, sin), None
+
+
+def _run_blocks(x, cos, sin, n_layers, d_model, n_heads, dtype,
+                scan_layers: bool):
+    """The transformer stack, unrolled (default) or as ONE lax.scan over
+    layer-stacked weights (``scan_layers=True``).
+
+    The scan form trades nothing numerically (identical math per layer)
+    but changes the PARAM TREE (kernels gain a leading n_layers axis), so
+    it is opt-in and checkpoint-incompatible with the unrolled form.
+    Measured on v5e flagship32 (BASELINE.md round 3): throughput within
+    noise of unrolled — the TPU executes a static schedule either way —
+    while compile time drops (fewer distinct HLO computations).
+    """
+    if not scan_layers:
+        for _ in range(n_layers):
+            x = TransformerBlock(d_model, n_heads, dtype=dtype)(x, cos, sin)
+        return x
+    scanned = nn.scan(
+        _ScanBlockBody,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=n_layers,
+        in_axes=(nn.broadcast, nn.broadcast),
+    )
+    x, _ = scanned(d_model, n_heads, dtype=dtype)(x, cos, sin)
+    return x
+
+
 # ---- CNN components (``cliffordar_model.py:121-207``) ----
 
 
@@ -235,6 +276,7 @@ class ViTEncoder(nn.Module):
     patch_size: int
     register_tokens: int = 4
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, image):
@@ -264,9 +306,8 @@ class ViTEncoder(nn.Module):
             cls_token_num=self.register_tokens,
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
-        for _ in range(self.n_layers):
-            x = TransformerBlock(self.d_model, self.n_heads,
-                                 dtype=self.dtype)(x, cos, sin)
+        x = _run_blocks(x, cos, sin, self.n_layers, self.d_model,
+                        self.n_heads, self.dtype, self.scan_layers)
         x = x[:, self.register_tokens:, :].astype(jnp.float32)
         x = nn.RMSNorm(epsilon=1e-6)(x)
         return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(x)
@@ -282,6 +323,7 @@ class ViTDecoder(nn.Module):
     patch_size: int
     register_tokens: int = 4
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -307,9 +349,8 @@ class ViTDecoder(nn.Module):
             cls_token_num=self.register_tokens,
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
-        for _ in range(self.n_layers):
-            x = TransformerBlock(self.d_model, self.n_heads,
-                                 dtype=self.dtype)(x, cos, sin)
+        x = _run_blocks(x, cos, sin, self.n_layers, self.d_model,
+                        self.n_heads, self.dtype, self.scan_layers)
         x = x[:, self.register_tokens:, :]
         x = x.reshape(B, g, g, self.d_model)
         for ch in self.cnn_chs[1:]:
@@ -367,6 +408,9 @@ class CliffordARVAE(nn.Module):
     concentration_floor: float = 0.03
     dtype: Any = jnp.float32  # compute dtype for transformer matmuls (bf16
     # for TPU throughput; params and distribution math stay f32)
+    scan_layers: bool = False  # ONE lax.scan over layer-stacked ViT
+    # weights instead of unrolled blocks (identical math, different param
+    # tree — see _run_blocks; compile-time lever)
 
     def _cfg(self):
         cfg = default_config(self.image_size)
@@ -393,7 +437,7 @@ class CliffordARVAE(nn.Module):
             n_layers=cfg["enc_layers"], n_heads=n_heads, d_model=zc,
             cnn_chs=cfg["cnn_chs"], image_size=self.image_size,
             patch_size=cfg["patch_size"], register_tokens=self.register_tokens,
-            dtype=self.dtype,
+            dtype=self.dtype, scan_layers=self.scan_layers,
         )
         if self.distribution == "gaussian":
             self.quant_proj = nn.Dense(self.latent_dim * 2, kernel_init=_XAVIER)
@@ -407,6 +451,7 @@ class CliffordARVAE(nn.Module):
             cnn_chs=cfg["cnn_chs"][::-1], out_channels=self.in_channels,
             image_size=self.image_size, patch_size=cfg["patch_size"],
             register_tokens=self.register_tokens, dtype=self.dtype,
+            scan_layers=self.scan_layers,
         )
         self._dec_latent_dim = dec_latent
         if self.use_learnable_beta:

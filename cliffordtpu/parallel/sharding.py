@@ -78,8 +78,14 @@ def infer_param_sharding(mesh: Mesh, params: Any, mode: str = "replicated",
                 mesh, _fsdp_rule(path, leaf, mesh, fsdp_min_size)),
             params,
         )
+    # TP rules target the standard 2-D Dense kernels; layer-stacked
+    # (scan_layers) 3-D kernels stay replicated — stack TP support would
+    # need P(None, None, "model") rules, unneeded at current model sizes
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _rule_for_path(path)),
+        lambda path, leaf: NamedSharding(
+            mesh,
+            _rule_for_path(path)
+            if getattr(leaf, "ndim", 0) == 2 else P()),
         params,
     )
 
@@ -104,7 +110,9 @@ def shard_state(mesh: Mesh, state, mode: str = "replicated",
             if hasattr(leaf, "ndim") and leaf.ndim >= 1:
                 try:
                     rule = (_fsdp_rule(path, leaf, mesh, fsdp_min_size)
-                            if mode == "fsdp" else _rule_for_path(path))
+                            if mode == "fsdp" else
+                            (_rule_for_path(path) if leaf.ndim == 2
+                             else P()))
                     return jax.device_put(leaf, NamedSharding(mesh, rule))
                 except Exception:
                     pass
