@@ -204,3 +204,59 @@ def test_iwae_cnn_and_vit_families():
                                              n_samples=10))
         assert np.isfinite(ll1) and np.isfinite(ll10), model.distribution
         assert ll10 >= ll1 - 20.0, (model.distribution, ll1, ll10)
+
+
+def test_scan_layers_variant_trains_and_stacks_params():
+    """``scan_layers=True`` runs the ViT stacks as ONE lax.scan over
+    layer-stacked weights: kernels gain a leading n_layers axis, training
+    stays finite, and forward output matches the unrolled model when the
+    unrolled per-layer weights are stacked into the scan layout."""
+    import jax.tree_util as jtu
+
+    kw = dict(latent_dim=8, image_size=32, in_channels=1,
+              distribution="clifford", cnn_chs=[16, 32, 64], z_channels=64,
+              encoder_vit_layers=2, decoder_vit_layers=2, patch_size=4)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+
+    scan_model = CliffordARVAE(scan_layers=True, **kw)
+    state = create_train_state(KEY, scan_model, x, optimizer="adamw",
+                               lr=1e-4)
+    stacked = [(jtu.keystr(p), leaf) for p, leaf in
+               jtu.tree_leaves_with_path(state.params)
+               if "ScanBlockBody" in jtu.keystr(p) and "kernel" in
+               jtu.keystr(p)]
+    assert stacked, "scan variant did not stack layer params"
+    assert all(leaf.shape[0] == 2 for _, leaf in stacked)
+
+    step = make_cnn_train_step(scan_model)
+    state, losses = step(state, x, KEY, jnp.float32(1.0))
+    assert np.isfinite(float(losses["total_loss"]))
+
+    # forward equivalence: transplant unrolled weights into the scan tree
+    unrolled = CliffordARVAE(scan_layers=False, **kw)
+    up = unrolled.init({"params": KEY, "sample": KEY}, x)["params"]
+
+    def to_scan(tree):
+        out = {}
+        layers = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                v = to_scan(v)
+            if k.startswith("TransformerBlock_"):
+                layers[int(k.split("_")[1])] = v
+            else:
+                out[k] = v
+        if layers:
+            stacked_tree = jtu.tree_map(
+                lambda *leaves: jnp.stack(leaves, 0),
+                *[layers[i] for i in sorted(layers)])
+            out["Scan_ScanBlockBody_0"] = {
+                "TransformerBlock_0": stacked_tree}
+        return out
+
+    sp = to_scan(up)
+    k = jax.random.PRNGKey(3)
+    out_unrolled = unrolled.apply({"params": up}, x, rngs={"sample": k})[0]
+    out_scan = scan_model.apply({"params": sp}, x, rngs={"sample": k})[0]
+    np.testing.assert_allclose(np.asarray(out_unrolled),
+                               np.asarray(out_scan), rtol=1e-5, atol=1e-5)
