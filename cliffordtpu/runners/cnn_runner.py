@@ -131,6 +131,8 @@ def _run_subprocess_eval(args, state, output_dir, dataset_name,
         ]
         if getattr(args, "_actual_l2", False):
             cmd += ["--l2_normalize"]
+        if getattr(args, "scan_layers_model", False):
+            cmd += ["--scan_layers"]  # param tree is layer-stacked
         if args.limit_train:
             cmd += ["--limit_train", str(args.limit_train)]
         if args.limit_test:
@@ -180,7 +182,8 @@ def build_model(args, dist_name: str, latent_dim: int, in_channels: int):
             latent_dim=latent_dim, image_size=32, in_channels=in_channels,
             distribution=actual_dist, recon_loss_type=args.recon_loss,
             l1_weight=args.l1_weight, l2_normalize=l2_norm,
-            use_learnable_beta=args.use_learnable_beta)
+            use_learnable_beta=args.use_learnable_beta,
+            scan_layers=bool(getattr(args, "scan_layers_model", False)))
     return model
 
 

@@ -72,6 +72,13 @@ def build_parser():
                    help="param placement under --mesh: replicated (DP/TP) "
                         "or fsdp (ZeRO-3: params+moments sharded over the "
                         "data axis)")
+    p.add_argument("--scan_layers", dest="scan_layers_model",
+                   action="store_true",
+                   help="(vit arch) compile the ViT stacks as ONE lax.scan "
+                        "over layer-stacked weights: slower per step on "
+                        "v5e at flagship sizes but much faster to compile "
+                        "(BASELINE.md); checkpoints are NOT interchangeable "
+                        "with the unrolled form")
     p.add_argument("--scan_epochs", action="store_true",
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts)")

@@ -35,7 +35,8 @@ import numpy as np
 
 
 def build_model(arch: str, distribution: str, latent_dim: int,
-                in_channels: int, img_size: int, l2_normalize: bool = False):
+                in_channels: int, img_size: int, l2_normalize: bool = False,
+                scan_layers: bool = False):
     from cliffordtpu.nn import CNNVAE, CliffordARVAE, HybridVAE, MLPVAE
 
     if arch == "mlp":
@@ -53,7 +54,8 @@ def build_model(arch: str, distribution: str, latent_dim: int,
         return CliffordARVAE(latent_dim=latent_dim, image_size=img_size,
                              in_channels=in_channels,
                              distribution=distribution,
-                             l2_normalize=l2_normalize)
+                             l2_normalize=l2_normalize,
+                             scan_layers=scan_layers)
     raise ValueError(arch)
 
 
@@ -67,6 +69,9 @@ def main():
     p.add_argument("--latent_dim", type=int, required=True)
     p.add_argument("--dataset", default="fashionmnist")
     p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--scan_layers", action="store_true",
+                   help="the checkpoint was trained with layer-stacked "
+                        "scan ViT weights (--scan_layers at train time)")
     p.add_argument("--outdir", required=True)
     p.add_argument("--vsa_trials", type=int, default=20)
     p.add_argument("--fid_samples", type=int, default=2048)
@@ -127,7 +132,8 @@ def main():
     in_channels = 3 if args.dataset == "cifar10" else 1
     img_shape = (args.img_size, args.img_size, in_channels)
     model = build_model(args.arch, args.distribution, args.latent_dim,
-                        in_channels, args.img_size, args.l2_normalize)
+                        in_channels, args.img_size, args.l2_normalize,
+                        scan_layers=args.scan_layers)
     from cliffordtpu.train.checkpoint import model_n_heads
     ckpt = load_checkpoint(args.ckpt, n_heads=model_n_heads(model))
     if ckpt is None:
