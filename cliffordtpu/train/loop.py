@@ -154,8 +154,9 @@ def fit(
             batches = stack_epoch_batches(x_train, perm, steps, batch_size)
             state, ep_losses = epoch_step(state, batches, ekey, beta)
             ep_loss = float(ep_losses["total"].mean())
+            ep_gnorm = float(ep_losses["grad_norm"].mean())
         else:
-            ep_loss_dev = None
+            ep_loss_dev = ep_gnorm_dev = None
             for s in range(steps):
                 xb = jnp.asarray(
                     x_train[perm[s * batch_size:(s + 1) * batch_size]])
@@ -164,7 +165,13 @@ def fit(
                 # accumulate on device: one D2H transfer per epoch
                 ep_loss_dev = (losses["total"] if ep_loss_dev is None
                                else ep_loss_dev + losses["total"])
+                gn = losses.get("grad_norm")
+                if gn is not None:
+                    ep_gnorm_dev = (gn if ep_gnorm_dev is None
+                                    else ep_gnorm_dev + gn)
             ep_loss = float(ep_loss_dev) / steps
+            ep_gnorm = (float(ep_gnorm_dev) / steps
+                        if ep_gnorm_dev is not None else float("nan"))
 
         # validation
         vkey = jax.random.fold_in(ekey, 10_000)
@@ -178,8 +185,9 @@ def fit(
         history["train_loss"].append(ep_loss)
         history["val_loss"].append(val_loss)
         if log_fn:
+            # grad_norm: the JAX stand-in for wandb.watch gradient logs
             log_fn(epoch, {"train_loss": ep_loss, "val_loss": val_loss,
-                           "beta": float(beta)})
+                           "grad_norm": ep_gnorm, "beta": float(beta)})
 
         if np.isfinite(val_loss) and val_loss < best_val:
             best_val = val_loss
