@@ -33,12 +33,16 @@ from __future__ import annotations
 import functools
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 # Above this latent dim the O(d^2) basis matmul is replaced by jnp.fft.
 # 4096 -> two 4095x8192 f32 bases (~268 MB total), still comfortably in HBM.
 MATMUL_MAX_DIM = 4096
+# smallest d at which the fused Pallas kernel is the measured in-step win
+# on TPU (BASELINE.md round 3); below it XLA fusion at tiny shapes wins
+PALLAS_MIN_DIM = 2048
 
 # Above this dim the bases are generated on device (iota + cos) instead of
 # being embedded as host-constant literals: at d=512 the pair of bases is
@@ -117,17 +121,28 @@ def angles_to_torus(angles: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
     """
     d = angles.shape[-1]
     if method == "auto":
-        # DEFAULT = XLA matmul (fft past MATMUL_MAX_DIM), decided by
-        # end-to-end measurement (BASELINE.md "Pallas fused torus" study):
-        # the Pallas kernel wins ISOLATED timings (up to 1.9x, d<=1024
-        # fwd, d=4096 bwd) but LOSES inside the cnn4096 train step
-        # (102.6 vs 142.1 steps/s on v5e) because pallas_call is an
-        # opaque boundary that blocks XLA from fusing the surrounding
-        # cos/sin sampler ops into the matmuls.  It therefore stays
-        # opt-in: CLIFFORDTPU_TORUS_METHOD=pallas globally, or
-        # method="pallas" per call (bit-identical results either way).
-        method = (os.environ.get("CLIFFORDTPU_TORUS_METHOD")
-                  or ("matmul" if d <= MATMUL_MAX_DIM else "fft"))
+        # Default decided by END-TO-END measurement (BASELINE.md "Pallas
+        # fused torus" studies, rounds 1-3):
+        # * d >= PALLAS_MIN_DIM on TPU -> the fused Pallas kernel.  With
+        #   the round-3 kernel (in-kernel basis generation, masked
+        #   padding) it beats the XLA matmul path INSIDE the cnn4096
+        #   train step in every paired run (best-window 168.7/165.6/138.6
+        #   vs 144.1/143.8/112.5 steps/s on v5e, ~+16%), reversing the
+        #   round-2 verdict for the old kernel.
+        # * small d -> XLA matmul: the torus embed is a negligible slice
+        #   of those steps (flagship32 sampler = 0.2%) and XLA's fusion
+        #   with the surrounding sampler ops wins at tiny shapes.
+        # * d > MATMUL_MAX_DIM -> FFT (VMEM-bounded kernel and 2d-wide
+        #   bases both stop scaling past 4096).
+        # CLIFFORDTPU_TORUS_METHOD overrides globally (matmul gives the
+        # pure-XLA parity path; pallas differs from it by <3e-8).
+        method = os.environ.get("CLIFFORDTPU_TORUS_METHOD")
+        if not method:
+            if (PALLAS_MIN_DIM <= d <= MATMUL_MAX_DIM
+                    and jax.default_backend() == "tpu"):
+                method = "pallas"
+            else:
+                method = "matmul" if d <= MATMUL_MAX_DIM else "fft"
     if method == "pallas":
         # fused cos/sin + dual-matmul TPU kernel (falls back off-TPU)
         from cliffordtpu.kernels.torus_pallas import angles_to_torus_fused
