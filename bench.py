@@ -279,6 +279,12 @@ def main():
     ap.add_argument("--scan_layers", action="store_true",
                     help="layer-stacked lax.scan ViT blocks instead of "
                          "unrolled (identical math; compile-time lever)")
+    ap.add_argument("--rng", choices=["threefry", "rbg"], default="threefry",
+                    help="PRNG implementation: threefry (jax default, "
+                         "counter-based in u32 VPU ops) or rbg (hardware "
+                         "bit generator — same distributions, different "
+                         "stream; profiled win where per-element sampling "
+                         "dominates, e.g. cnn4096's d=4096 reparam)")
     ap.add_argument("--xla_opts", type=str, default=None,
                     help="comma-separated k=v TPU compiler options passed "
                          "per-compile (XLA_FLAGS can't carry TPU flags "
@@ -289,6 +295,11 @@ def main():
     if args.xla_opts:
         xla_opts = dict(kv.split("=", 1) for kv in args.xla_opts.split(","))
         log(f"compiler options: {xla_opts}")
+    if args.rng != "threefry":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", args.rng)
+        log(f"prng impl: {args.rng}")
     if args.profile:
         global _PROFILE_DIR
         _PROFILE_DIR = args.profile
