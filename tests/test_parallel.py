@@ -269,3 +269,51 @@ def test_fsdp_mode_shards_params_and_matches_single_device():
     still = [leaf for leaf in jax.tree_util.tree_leaves(state2.params)
              if leaf_is_data_sharded(leaf)]
     assert len(still) == len(sharded)
+
+
+def test_sharded_step_generalizes_to_sixteen_devices():
+    """Sharding generality beyond the driver's 8-device gate: a (4, 4)
+    DP x TP mesh on 16 virtual CPU devices compiles and executes the
+    sharded train step with a finite loss (subprocess so the 8-device
+    conftest platform is not disturbed)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import os\n"
+        "flags = [f for f in os.environ.get('XLA_FLAGS', '').split()\n"
+        "         if 'force_host_platform' not in f]\n"
+        "flags.append('--xla_force_host_platform_device_count=16')\n"
+        "os.environ['XLA_FLAGS'] = ' '.join(flags)\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "assert len(jax.devices()) == 16, jax.devices()\n"
+        "from cliffordtpu.nn import CliffordARVAE\n"
+        "from cliffordtpu.parallel.mesh import create_mesh, data_sharding\n"
+        "from cliffordtpu.parallel.sharding import (\n"
+        "    make_sharded_cnn_train_step, shard_state)\n"
+        "from cliffordtpu.train.state import create_train_state\n"
+        "key = jax.random.PRNGKey(0)\n"
+        "model = CliffordARVAE(latent_dim=8, image_size=32, in_channels=1,\n"
+        "    distribution='clifford', cnn_chs=[16, 32, 64], z_channels=64,\n"
+        "    encoder_vit_layers=1, decoder_vit_layers=1, patch_size=4)\n"
+        "x = jax.random.uniform(key, (16, 32, 32, 1)) * 2 - 1\n"
+        "state = create_train_state(key, model, x[:2], optimizer='adamw',\n"
+        "                           lr=1e-4)\n"
+        "mesh = create_mesh((4, 4))\n"
+        "state = shard_state(mesh, state)\n"
+        "xs = jax.device_put(x, data_sharding(mesh, 4))\n"
+        "step = make_sharded_cnn_train_step(model, mesh)\n"
+        "with mesh:\n"
+        "    state, losses = step(state, xs, key, jnp.float32(1.0))\n"
+        "    loss = float(losses['total_loss'])\n"
+        "assert np.isfinite(loss), loss\n"
+        "print('SIXTEEN_DEV_OK', loss)\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "SIXTEEN_DEV_OK" in r.stdout
