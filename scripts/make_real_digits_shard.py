@@ -10,7 +10,8 @@ bilinearly upsampled to the 28x28 MNIST geometry so the whole MNIST
 ingestion + runner path (``cliffordtpu/data/loaders.py``,
 ``scripts/mnist_clifpws.py``) runs end-to-end on non-synthetic data.
 
-Writes ``tests/data/mnist/mnist.npz`` (+ a ``SHA256SUMS`` manifest that
+Writes ``tests/data/mnist/mnist.npz`` — the FULL 1797-scan corpus, 1500 train /
+297 test, class-balanced round-robin — (+ a ``SHA256SUMS`` manifest that
 ``loaders._verify_checksums`` checks at load time) in the npz schema the
 loader consumes.  Deterministic: same sklearn corpus -> same bytes.
 
@@ -25,7 +26,7 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.path.join(ROOT, "tests", "data", "mnist")
-N_TRAIN, N_TEST = 100, 40
+N_TRAIN, N_TEST = 1500, 297
 
 
 def main():

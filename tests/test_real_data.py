@@ -1,12 +1,13 @@
 """Golden real-data path (VERDICT r02 item 8).
 
-``tests/data/mnist/mnist.npz`` is a committed 140-example shard of REAL
-handwritten digit scans (sklearn's bundled UCI ``load_digits`` corpus,
+``tests/data/mnist/mnist.npz`` is the committed full 1797-scan corpus of
+REAL handwritten digits (sklearn's bundled UCI ``load_digits``,
 bilinearly upsampled to the 28x28 MNIST geometry by
-``scripts/make_real_digits_shard.py`` — the only genuine handwritten-digit
-data available in this zero-egress environment).  These tests prove the
-real-data ingestion path end-to-end: checksum-verified npz -> loader ->
-the full ``mnist_clifpws`` artifact tree, with no synthetic fallback.
+``scripts/make_real_digits_shard.py``, 1500 train / 297 test — the only
+genuine handwritten-digit data available in this zero-egress
+environment).  These tests prove the real-data ingestion path
+end-to-end: checksum-verified npz -> loader -> the full
+``mnist_clifpws`` artifact tree, with no synthetic fallback.
 """
 
 from __future__ import annotations
@@ -36,8 +37,8 @@ def test_committed_shard_loads_as_real(monkeypatch):
     monkeypatch.setenv("CLIFFORDTPU_DATA_DIR", DATA_DIR)
     ds = load_dataset("mnist")
     assert ds["source"] == "real"
-    assert ds["x_train"].shape == (100, 28, 28, 1)
-    assert ds["x_test"].shape == (40, 28, 28, 1)
+    assert ds["x_train"].shape == (1500, 28, 28, 1)
+    assert ds["x_test"].shape == (297, 28, 28, 1)
     assert ds["x_train"].dtype == np.float32
     assert 0.0 <= ds["x_train"].min() and ds["x_train"].max() <= 1.0
     # class-balanced real labels, all ten digits present in train
@@ -70,6 +71,7 @@ def test_mnist_runner_end_to_end_on_real_shard(tmp_path, monkeypatch):
         "--d_dims", "5", "--n_runs", "1", "--epochs", "2",
         "--patience", "0", "--warmup_epochs", "1", "--batch_size", "32",
         "--distributions", "clifford",
+        "--limit_train", "128", "--limit_test", "64",
         "--vsa_trials", "1", "--no_wandb", "--outdir", str(tmp_path),
     ])
 
