@@ -285,6 +285,14 @@ def main():
                          "bit generator — same distributions, different "
                          "stream; profiled win where per-element sampling "
                          "dominates, e.g. cnn4096's d=4096 reparam)")
+    ap.add_argument("--sampler", choices=["keyed", "pallas_rng"],
+                    default="keyed",
+                    help="clifford circle sampler: keyed (jax.random "
+                         "threefry stream, the default everywhere) or "
+                         "pallas_rng (fused sample+embed kernel on the TPU "
+                         "hardware PRNG — same formula/epsilons, different "
+                         "stream; targets the d>=2048 reparam floor, see "
+                         "kernels/sampler_pallas.py)")
     ap.add_argument("--xla_opts", type=str, default=None,
                     help="comma-separated k=v TPU compiler options passed "
                          "per-compile (XLA_FLAGS can't carry TPU flags "
@@ -295,6 +303,9 @@ def main():
     if args.xla_opts:
         xla_opts = dict(kv.split("=", 1) for kv in args.xla_opts.split(","))
         log(f"compiler options: {xla_opts}")
+    if args.sampler != "keyed":
+        os.environ["CLIFFORDTPU_SAMPLER"] = args.sampler
+        log(f"sampler: {args.sampler}")
     if args.rng != "threefry":
         import jax
 

@@ -23,6 +23,7 @@ Quirks preserved on purpose (documented, verified by tests):
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +149,17 @@ class CliffordPowerSphericalDistribution:
         from cliffordtpu.distributions.power_spherical import _EPS as _PS_EPS
 
         loc, kappa = self._params()
+        if not sample_shape and os.environ.get(
+                "CLIFFORDTPU_SAMPLER") == "pallas_rng":
+            # opt-in fused sampler+embed kernel with the TPU hardware PRNG
+            # (kernels/sampler_pallas.py): identical formula and epsilons,
+            # DIFFERENT random stream than the keyed threefry path — see
+            # the kernel docstring for the determinism contract
+            from cliffordtpu.kernels.sampler_pallas import sample_torus_fused
+
+            fused = sample_torus_fused(key, loc, kappa)
+            if fused is not None:
+                return fused
         shape = tuple(sample_shape) + loc.shape
         k_u, k_v = jax.random.split(key)
         nu = 2.0 * (kappa + _PS_EPS) + 1.0  # matches alpha = k + 1/2 + eps

@@ -1,0 +1,217 @@
+"""Fused Clifford-torus SAMPLER + embedding kernel (Pallas / Mosaic TPU).
+
+``CliffordPowerSphericalDistribution.sample`` is, at large latent dims,
+RNG-bound: the round-3 cnn4096 profile puts the ``reparam`` scope at 54%
+of the whole train step, dominated by threefry u32 bit generation on the
+VPU (BASELINE.md; both the ``rbg`` PRNG and partitionable threefry
+measured slower end-to-end).  This kernel attacks that floor directly by
+doing EVERYTHING on-core in one pass:
+
+* uniforms from the TPU's hardware PRNG (``pltpu.prng_seed`` /
+  ``prng_random_bits``) — no threefry bit stream in the program at all,
+* the exact closed-form circle sampler (Bailey polar Student-t form,
+  ``distributions/clifford_torus.py::sample``):
+      nu = 2 (kappa + eps) + 1
+      w  = expm1((-2/nu) ln U)
+      theta = loc + 2 atan(cos(2 pi V) sqrt(w))
+* the real-DFT torus embedding with in-kernel basis generation
+  (same dual-matmul scheme as ``torus_pallas.py``).
+
+The sampler math and epsilons mirror the XLA path EXACTLY (same formula,
+same 1e-12 U clamp, same `_PS_EPS`); only the random STREAM differs —
+hardware PRNG draws instead of the keyed threefry stream.  Determinism
+is still per (key, shape): the kernel is seeded from the fold of the
+caller's key, so reruns with the same key reproduce bit-identically on
+the same hardware.  Because the stream differs from ``jax.random``, this
+path is OPT-IN (``CLIFFORDTPU_SAMPLER=pallas_rng``) and the runners'
+default keyed-threefry behavior is unchanged.
+
+Backward (reparameterized) gradients flow through a custom VJP: the
+kernel also writes theta / U / V residuals; ``dtheta`` reuses the fused
+transposed-basis kernel from ``torus_pallas``, and dloc / dkappa are a
+short elementwise epilogue:
+
+    dtheta/dloc   = 1
+    dtheta/dkappa = [2 c / (1 + c^2 w)] * [1/(2 sqrt(w))]
+                    * (2 ln U / nu^2) (1 + w) * 2,   c = cos(2 pi V)
+
+(the sqrt(w) pole at U -> 1 is cancelled by ln U -> 0; a small floor on
+sqrt(w) guards the fp32 corner).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cliffordtpu.kernels.torus_pallas import _round_up, _torus_fused_bwd
+
+_PS_EPS = 1e-6  # must equal distributions.power_spherical._EPS
+_U_MIN = 1e-12  # must equal the XLA sampler's minval
+
+
+def _bits_to_unit_float(bits):
+    """u32 -> f32 uniform in [0, 1): mantissa trick (1.m * 2^0 - 1)."""
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
+                         out_ref, th_ref, u_ref, v_ref,
+                         cos_sc, sin_sc, th_sc,
+                         *, d: int, TN: int, kp: int):
+    j = pl.program_id(1)  # output-column tile (inner)
+    i = pl.program_id(0)  # batch tile (OUTER — theta cached per tile)
+    n = 2 * d
+
+    @pl.when(j == 0)
+    def _draw_and_sample():
+        # independent, deterministic stream per batch tile
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+        shape = th_sc.shape
+        u = _bits_to_unit_float(pltpu.prng_random_bits(shape))
+        v = _bits_to_unit_float(pltpu.prng_random_bits(shape))
+        u = jnp.maximum(u, _U_MIN)
+        loc = loc_ref[:]
+        kappa = kap_ref[:]
+        nu = 2.0 * (kappa + _PS_EPS) + 1.0
+        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
+        theta = loc + 2.0 * jnp.arctan(
+            jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
+        th_sc[:] = theta
+        th_ref[:] = theta
+        u_ref[:] = u
+        v_ref[:] = v
+
+    # basis tiles for THIS j (regenerated per (i, j) — with the batch axis
+    # outer there is no j-persistence; at the target config B fits one
+    # batch tile so total generation cost matches torus_pallas exactly)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (kp, TN), 0) + 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (kp, TN), 1) + j * TN
+    phase = ((krow * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
+    valid = (krow <= d - 1) & (col < n)
+    cos_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
+    sin_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+
+    th = th_sc[:]
+    ocol = (jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1) + j * TN)
+    const = jnp.where((ocol % 2 == 0) & (ocol < n), 2.0 / n, 0.0)
+    out_ref[:] = (
+        jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
+        + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
+        + const
+    )
+
+
+def _sample_embed_call(seed, loc_pad, kap_pad, d: int):
+    B, kp = loc_pad.shape
+    n = 2 * d
+    np_ = _round_up(n, 128)
+    TB = min(256, B)
+    TN = 128 if kp > 1024 else min(512, np_)
+    grid = (pl.cdiv(B, TB), pl.cdiv(np_, TN))  # i outer, j inner
+    return pl.pallas_call(
+        functools.partial(_sample_embed_kernel, d=d, TN=TN, kp=kp),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, np_), jnp.float32),  # x
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # theta
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # u
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # v
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kp, TN), jnp.float32),
+            pltpu.VMEM((kp, TN), jnp.float32),
+            pltpu.VMEM((TB, kp), jnp.float32),
+        ],
+    )(seed, loc_pad, kap_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sample_embed(seed, loc_pad, kap_pad, d: int):
+    x, _, _, _ = _sample_embed_call(seed, loc_pad, kap_pad, d)
+    return x
+
+
+def _sample_embed_fwd(seed, loc_pad, kap_pad, d: int):
+    x, th, u, v = _sample_embed_call(seed, loc_pad, kap_pad, d)
+    return x, (th, u, v, kap_pad)
+
+
+def _sample_embed_bwd(d: int, res, g):
+    th, u, v, kap_pad = res
+    # dtheta via the fused transposed-basis kernel (same math as embed bwd)
+    (dth,) = _torus_fused_bwd(d, th, g)
+    # elementwise epilogue: dloc = dth; dkappa = dth * dtheta/dkappa
+    nu = 2.0 * (kap_pad + _PS_EPS) + 1.0
+    lnu = jnp.log(u)
+    w = jnp.expm1((-2.0 / nu) * lnu)
+    c = jnp.cos((2.0 * math.pi) * v)
+    sqw = jnp.sqrt(jnp.maximum(w, 1e-30))
+    s2 = c * c * w
+    # dtheta/dnu = [2 c / (1 + s^2)] * [1/(2 sqrt(w))] * (2 lnU / nu^2)(1+w)
+    dth_dnu = (2.0 * c / (1.0 + s2)) * (1.0 / (2.0 * sqw)) * (
+        (2.0 * lnu / (nu * nu)) * (1.0 + w))
+    dkap = dth * dth_dnu * 2.0  # dnu/dkappa = 2
+    return (None, dth, dkap)
+
+
+_sample_embed.defvjp(_sample_embed_fwd, _sample_embed_bwd)
+
+
+def sample_torus_fused(key, loc, kappa):
+    """One-kernel replacement for
+    ``CliffordPowerSphericalDistribution.sample`` at large d on TPU.
+
+    Returns the (..., 2d) torus embedding of hardware-PRNG circle draws.
+    Falls back to None off-TPU / for unsupported shapes (caller keeps the
+    XLA path).  Stream caveat in the module docstring.
+    """
+    from cliffordtpu.ops.torus import MATMUL_MAX_DIM
+
+    d = loc.shape[-1]
+    if d < 2 or d > MATMUL_MAX_DIM or jax.default_backend() == "cpu":
+        return None
+    batch_shape = loc.shape[:-1]
+    loc1 = loc.reshape(-1, d)[:, 1:].astype(jnp.float32)  # angle 0 pinned
+    kap1 = jnp.broadcast_to(kappa, loc.shape).reshape(-1, d)[:, 1:]
+    kap1 = kap1.astype(jnp.float32)
+    B = loc1.shape[0]
+    kp = _round_up(d - 1, 8)
+    Bp = _round_up(B, 8)
+    loc_pad = jnp.zeros((Bp, kp), jnp.float32).at[:B, : d - 1].set(loc1)
+    # pad kappa with 1.0 (keeps nu sane; padded thetas are never read:
+    # the basis rows for k >= d are zeroed in-kernel)
+    kap_pad = jnp.ones((Bp, kp), jnp.float32).at[:B, : d - 1].set(kap1)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    # deterministic per caller key: the folded raw key words seed the
+    # hardware PRNG (same key -> same draws on the same hardware)
+    seed = jax.random.key_data(
+        jax.random.fold_in(jax.random.wrap_key_data(key), 0x7A11A5)
+    ).astype(jnp.uint32).reshape(-1)[:2]
+    x = _sample_embed(seed, loc_pad, kap_pad, d)
+    return x[:B, : 2 * d].reshape(*batch_shape, 2 * d).astype(loc.dtype)

@@ -72,3 +72,134 @@ def test_env_optin_no_recursion(monkeypatch):
     out = angles_to_torus(a)
     ref = angles_to_torus(a, method="matmul")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused sampler+embed kernel (kernels/sampler_pallas.py)
+# ---------------------------------------------------------------------------
+
+def _sampler_inputs(d, B, kappa_val=5.0, seed=(123, 456)):
+    from cliffordtpu.kernels import sampler_pallas as sp
+    from cliffordtpu.kernels.torus_pallas import _round_up
+
+    loc = jax.random.uniform(KEY, (B, d)) * 2 * np.pi - np.pi
+    kp = _round_up(d - 1, 8)
+    Bp = _round_up(B, 8)
+    loc_pad = jnp.zeros((Bp, kp)).at[:B, : d - 1].set(loc[:, 1:])
+    kap_pad = jnp.ones((Bp, kp)).at[:B, : d - 1].set(kappa_val)
+    return sp, jnp.array(seed, jnp.uint32), loc_pad, kap_pad, loc
+
+
+@pytest.mark.parametrize("d,B", [(9, 16), (64, 8)])
+def test_fused_sampler_internal_consistency(d, B):
+    """The kernel's x output must be the exact torus embedding of its own
+    theta residual, and theta must satisfy the closed-form circle-sampler
+    formula (distributions/clifford_torus.py::sample) on its own (u, v)
+    residuals — same formula, same 1e-12/1e-6 epsilons."""
+    sp, seed, loc_pad, kap_pad, _ = _sampler_inputs(d, B)
+    with pltpu.force_tpu_interpret_mode():
+        x, th, u, v = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
+    x, th, u, v = map(np.asarray, (x, th, u, v))
+    ang = np.concatenate([np.zeros((B, 1)), th[:B, : d - 1]], -1)
+    want = np.asarray(angles_to_torus(jnp.asarray(ang)))
+    np.testing.assert_allclose(x[:B, : 2 * d], want, atol=1e-5)
+    nu = 2.0 * (kap_pad + 1e-6) + 1.0
+    w = np.expm1((-2.0 / nu) * np.log(u))
+    th_want = loc_pad + 2.0 * np.arctan(np.cos(2 * np.pi * v) * np.sqrt(w))
+    np.testing.assert_allclose(th, np.asarray(th_want), atol=1e-6)
+    assert u.min() >= 1e-12 and u.max() < 1.0 and v.min() >= 0.0
+
+
+def test_fused_sampler_gradients_match_reconstruction():
+    """Custom-VJP dloc/dkappa vs autodiff of the pure-jnp sampler+embed
+    rebuilt from the kernel's own (u, v) residuals."""
+    d, B = 9, 16
+    sp, seed, loc_pad, kap_pad, _ = _sampler_inputs(d, B)
+    kap_pad = kap_pad.at[:B, : d - 1].set(
+        jax.random.uniform(jax.random.PRNGKey(7), (B, d - 1)) * 20 + 0.5)
+    W = jax.random.normal(jax.random.PRNGKey(3), (loc_pad.shape[0], 128))
+
+    def loss(lp, kpad):
+        return jnp.sum(W * sp._sample_embed(seed, lp, kpad, d))
+
+    with pltpu.force_tpu_interpret_mode():
+        _, th, u, v = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
+        g = jax.grad(loss, argnums=(0, 1))(loc_pad, kap_pad)
+
+    def loss_ref(lp, kpad):
+        nu = 2.0 * (kpad + 1e-6) + 1.0
+        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
+        th2 = lp + 2.0 * jnp.arctan(jnp.cos(2 * np.pi * v) * jnp.sqrt(w))
+        ang = jnp.concatenate(
+            [jnp.zeros((th2.shape[0], 1)), th2], -1)[:, :d]
+        return jnp.sum(W[:, : 2 * d] * angles_to_torus(ang))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(loc_pad, kap_pad)
+    for got, want in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(got)[:B, : d - 1],
+                                   np.asarray(want)[:B, : d - 1], atol=1e-5)
+
+
+_ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="the TPU interpreter zeroes "
+                    "pltpu.prng_random_bits (verified: all-zero draws on "
+                    "CPU), so stream properties are only testable on chip; "
+                    "scripts/sampler_smoke.py runs these same checks there")
+def test_fused_sampler_deterministic_per_seed():
+    d, B = 9, 8
+    sp, seed, loc_pad, kap_pad, _ = _sampler_inputs(d, B)
+    x1, *_ = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
+    x2, *_ = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
+    x3, *_ = sp._sample_embed_call(
+        jnp.array([9, 9], jnp.uint32), loc_pad, kap_pad, d)
+    assert np.array_equal(np.asarray(x1), np.asarray(x2))
+    assert not np.array_equal(np.asarray(x1), np.asarray(x3))
+
+
+@pytest.mark.skipif(not _ON_TPU, reason="hardware PRNG only (see above)")
+def test_fused_sampler_distribution_moments():
+    """E[cos(theta - loc)] from the hardware-PRNG stream must agree with
+    the keyed-threefry XLA sampler at the same kappa (different stream,
+    same distribution)."""
+    from cliffordtpu.distributions.clifford_torus import (
+        CliffordPowerSphericalDistribution)
+
+    d, B, kappa_val = 9, 512, 6.0
+    sp, seed, loc_pad, kap_pad, loc = _sampler_inputs(d, B, kappa_val)
+    _, th, _, _ = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
+    got = np.cos(np.asarray(th)[:B, : d - 1]
+                 - np.asarray(loc_pad)[:B, : d - 1]).mean()
+    dist = CliffordPowerSphericalDistribution(
+        loc=loc, concentration=jnp.full((B, d), kappa_val))
+    ref_x = dist.sample(jax.random.PRNGKey(11))
+    from cliffordtpu.ops.torus import torus_to_angles
+    ref_th = np.asarray(torus_to_angles(ref_x))
+    ref = np.cos(ref_th[:, 1:] - np.asarray(loc)[:, 1:]).mean()
+    assert abs(got - ref) < 0.02, (got, ref)
+
+
+def test_fused_sampler_cpu_fallback_returns_none():
+    """Off-TPU the public entry declines and the caller keeps the XLA
+    path (the env opt-in is therefore safe to set globally)."""
+    from cliffordtpu.kernels.sampler_pallas import sample_torus_fused
+
+    loc = jax.random.uniform(KEY, (4, 9))
+    out = sample_torus_fused(jax.random.PRNGKey(0), loc, jnp.full((4, 9), 3.0))
+    assert out is None
+
+
+def test_sampler_env_optin_dispatch(monkeypatch):
+    """With CLIFFORDTPU_SAMPLER=pallas_rng set on CPU, sample() must fall
+    through to the keyed path untouched (fused path declines off-TPU)."""
+    from cliffordtpu.distributions.clifford_torus import (
+        CliffordPowerSphericalDistribution)
+
+    loc = jax.random.uniform(KEY, (4, 9))
+    dist = CliffordPowerSphericalDistribution(
+        loc=loc, concentration=jnp.full((4, 9), 3.0))
+    want = dist.sample(jax.random.PRNGKey(5))
+    monkeypatch.setenv("CLIFFORDTPU_SAMPLER", "pallas_rng")
+    got = dist.sample(jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
