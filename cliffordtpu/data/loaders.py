@@ -25,6 +25,10 @@ def _data_dirs():
 
 _SPECS = {
     "mnist": dict(shape=(28, 28, 1), n_classes=10, norm="unit"),
+    # mnist32 = the SAME mnist digit files served at the CNN runners'
+    # geometry (32px bilinear resize, [-1,1] range, like fashionmnist) so
+    # the real-digit shard can also train the CNN/ViT/Hybrid families
+    "mnist32": dict(shape=(32, 32, 1), n_classes=10, norm="pm1"),
     "fashionmnist": dict(shape=(32, 32, 1), n_classes=10, norm="pm1"),
     "cifar10": dict(shape=(32, 32, 3), n_classes=10, norm="pm1"),
 }
@@ -211,11 +215,12 @@ def load_dataset(
     if name not in _SPECS:
         raise ValueError(f"unknown dataset {name}")
     spec = _SPECS[name]
-    raw = _find_real(name)
+    raw_name = "mnist" if name == "mnist32" else name  # same digit files
+    raw = _find_real(raw_name)
     source = "real"
     if raw is None:
         source = "synthetic"
-        raw = _synthesize(name, n_train or 10000, n_test or 2000)
+        raw = _synthesize(raw_name, n_train or 10000, n_test or 2000)
 
     def prep(x):
         x = np.asarray(x, np.float32) / 255.0

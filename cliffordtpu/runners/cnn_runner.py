@@ -350,7 +350,9 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
     class_names = (
         ["tshirt", "trouser", "pullover", "dress", "coat", "sandal",
          "shirt", "sneaker", "bag", "boot"]
-        if dataset_name == "fashionmnist" else CLASS_NAMES["cifar10"])
+        if dataset_name == "fashionmnist"
+        else CLASS_NAMES["mnist"] if dataset_name == "mnist32"
+        else CLASS_NAMES["cifar10"])
 
     ds = load_dataset(dataset_name, n_train=args.limit_train,
                       n_test=args.limit_test)
@@ -617,12 +619,16 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
 
                 if trial == 0 and not did_sub:
                     print("running cross-class bind/unbind test...")
-                    if dataset_name == "fashionmnist":
+                    if dataset_name in ("fashionmnist", "mnist32"):
+                        # fashion uses the reference's fixed 5v6 pair;
+                        # digits use 6v9 like mnist_clifpws.py:451-455
+                        ca, cb = ((5, 6) if dataset_name == "fashionmnist"
+                                  else (6, 9))
                         stage("cross_class",
                                   lambda: test_cross_class_bind_unbind(
                                       handle, x_test[:500], y_test[:500],
                                       output_dir, img_shape=IMG_SHAPE,
-                                      class_a=5, class_b=6, key=ekey))
+                                      class_a=ca, class_b=cb, key=ekey))
                     else:
                         rng = np.random.RandomState(trial_num)
                         for _ in range(2):

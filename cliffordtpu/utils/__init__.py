@@ -135,6 +135,7 @@ CLASS_NAMES = {
         "Sandal", "Shirt", "Sneaker", "Bag", "Ankle boot",
     ],
     "mnist": [str(i) for i in range(10)],
+    "mnist32": [str(i) for i in range(10)],  # digit shard at CNN geometry
     "cifar10": [
         "airplane", "automobile", "bird", "cat", "deer",
         "dog", "frog", "horse", "ship", "truck",

@@ -53,6 +53,13 @@ def build_parser():
     p.add_argument("--start_trial", type=int, default=1)
     p.add_argument("--arch", type=str, default="cnn",
                    choices=["cnn", "vit", "hybrid"])
+    p.add_argument("--dataset", type=str, default="fashionmnist",
+                   choices=["fashionmnist", "mnist32"],
+                   help="mnist32 = the MNIST digit files at this runner's "
+                        "32px/[-1,1] geometry, so the committed real-digit "
+                        "shard can train the CNN/ViT/Hybrid families "
+                        "(framework extension; the reference runner is "
+                        "fashion-only)")
     # extensions (defaults preserve reference behavior)
     p.add_argument("--outdir", type=str, default=".")
     p.add_argument("--seed", type=int, default=0)
@@ -99,5 +106,5 @@ if __name__ == "__main__":
     if args.distributions is None:
         args.distributions = ["clifford", "powerspherical", "gaussian",
                               "gaussian_nol2"]
-    run_cnn_experiments(args, "fashionmnist", "fashion_train",
+    run_cnn_experiments(args, args.dataset, "fashion_train",
                         full_eval=True)

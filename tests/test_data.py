@@ -29,6 +29,33 @@ def test_fashion_and_cifar_pm1():
         assert ds["x_train"].max() <= 1.0 + 1e-6
 
 
+def test_mnist32_real_shard_at_cnn_geometry(monkeypatch):
+    """mnist32 serves the SAME digit files at the CNN runners' geometry
+    (32px bilinear, [-1,1]) so the committed real shard can train the
+    CNN/ViT/Hybrid families."""
+    import os
+
+    shard = os.path.join(os.path.dirname(__file__), "data")
+    monkeypatch.setenv("CLIFFORDTPU_DATA_DIR", shard)
+    ds = load_dataset("mnist32", n_train=32, n_test=16)
+    assert ds["source"] == "real"
+    assert ds["x_train"].shape == (32, 32, 32, 1)
+    assert ds["x_train"].min() >= -1.0 - 1e-6
+    assert ds["x_train"].max() <= 1.0 + 1e-6
+    # same underlying digits as the 28px mnist view of the shard
+    ref = load_dataset("mnist", n_train=32)
+    np.testing.assert_array_equal(ds["y_train"], ref["y_train"])
+
+
+def test_mnist32_synthetic_fallback():
+    ds = load_dataset("mnist32", n_train=16, n_test=8)
+    assert ds["x_train"].shape == (16, 32, 32, 1)
+    assert ds["x_train"].min() >= -1.0 - 1e-6
+    # the synthetic digits come from the mnist generator (shared alias)
+    ref = load_dataset("mnist", n_train=16, n_test=8)
+    np.testing.assert_array_equal(ds["y_train"], ref["y_train"])
+
+
 def test_synthetic_deterministic():
     a = load_dataset("mnist", n_train=32, n_test=8)
     b = load_dataset("mnist", n_train=32, n_test=8)
