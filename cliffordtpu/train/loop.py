@@ -286,6 +286,170 @@ def make_cnn_epoch_step(model):
     return epoch_step
 
 
+def stack_trial_states(states):
+    """Stack T same-model TrainStates into one batched state (leading
+    trial axis on every array leaf).  Static fields (apply_fn, tx) are
+    taken from trial 0 — each create_train_state builds its own optax
+    chain object, and those compare unequal as pytree aux data even when
+    identically configured."""
+    s0 = states[0]
+    step, params, opt_state = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[(s.step, s.params, s.opt_state) for s in states])
+    return s0.replace(step=step, params=params, opt_state=opt_state)
+
+
+def index_trial_state(states, t: int):
+    """Extract trial t's TrainState from a stacked state."""
+    return jax.tree_util.tree_map(lambda a: a[t], states)
+
+
+def make_mlp_trials_programs(model, x_train, x_val, batch_size: int,
+                             binarize: bool = True):
+    """Batched-trial training programs: T independent (state, key) lanes
+    advance one epoch in ONE XLA program (``jax.vmap`` over the trial
+    axis around the epoch ``lax.scan``).
+
+    TPU-first capability the reference cannot express: its headline
+    sweeps train n_runs=20 trials SEQUENTIALLY per (distribution, d) cell
+    (``mnist/mnist_clifpws.py:252-318``); at MLP sizes one trial leaves
+    the MXU nearly idle, so batching trials multiplies throughput at
+    almost no cost.  The data never leaves the device: the train set is
+    device-resident and each lane draws its own permutation IN-PROGRAM
+    from the exact key stream of ``fit()`` (perm from fold_in(ekey, 0),
+    step keys fold_in(ekey, s+1)), so per-lane results equal the
+    sequential path (tests/test_train.py).
+    """
+    x_train_dev = jnp.asarray(x_train)
+    x_val_dev = jnp.asarray(x_val)
+    n = x_train.shape[0]
+    steps = max(1, n // batch_size)
+
+    def epoch(state, ekey, beta):
+        perm = jax.random.permutation(jax.random.fold_in(ekey, 0), n)
+        ids = perm[: steps * batch_size].reshape(steps, batch_size)
+
+        def body(state, inp):
+            i, batch_ids = inp
+            xb = jnp.take(x_train_dev, batch_ids, axis=0)
+            skey = jax.random.fold_in(ekey, i + 1)
+            k_bin, k_sample = jax.random.split(skey)
+            if binarize:
+                xb = binarize_with_random_threshold(k_bin, xb)
+
+            def loss_fn(params):
+                outputs = model.apply(
+                    {"params": params}, xb, rngs={"sample": k_sample}
+                )
+                losses = vae_loss_from_outputs(xb, outputs, beta)
+                return losses["total"], losses
+
+            grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+            losses["grad_norm"] = optax.global_norm(grads)
+            return state.apply_gradients(grads=grads), losses
+
+        return jax.lax.scan(body, state, (jnp.arange(steps), ids))
+
+    epoch_trials = jax.jit(
+        jax.vmap(epoch, in_axes=(0, 0, None)), donate_argnums=(0,))
+
+    def val_batch(params, xb, key, beta):
+        k_bin, k_sample = jax.random.split(key)
+        if binarize:
+            xb = binarize_with_random_threshold(k_bin, xb)
+        outputs = model.apply({"params": params}, xb,
+                              rngs={"sample": k_sample})
+        return vae_loss_from_outputs(xb, outputs, beta)["total"]
+
+    eval_trials = jax.jit(jax.vmap(val_batch, in_axes=(0, None, 0, None)))
+
+    def val_loss_trials(params, vkeys, beta):
+        tot = None
+        for s in range(0, x_val.shape[0], batch_size):
+            xb = x_val_dev[s: s + batch_size]
+            ks = jax.vmap(lambda k: jax.random.fold_in(k, s))(vkeys)
+            v = eval_trials(params, xb, ks, beta) * xb.shape[0]
+            tot = v if tot is None else tot + v
+        return np.asarray(tot) / x_val.shape[0]
+
+    return epoch_trials, val_loss_trials
+
+
+def fit_trials(
+    states,
+    keys,
+    x_train: np.ndarray,
+    x_val: np.ndarray,
+    model,
+    *,
+    epochs: int,
+    batch_size: int,
+    beta_fn: Callable[[int], float],
+    patience: int = 50,
+    binarize: bool = True,
+    log_fn: Optional[Callable[[int, Dict], None]] = None,
+):
+    """``fit`` semantics for T trials at once (stacked ``states``, per-
+    trial ``keys`` of shape (T, 2)).
+
+    Early stopping is per-lane: a lane whose patience runs out keeps
+    computing (lanes march in lock-step) but its best-checkpoint tracking
+    and history FREEZE at the stopping epoch, so each lane's
+    (best_params, best_val, history) equal the sequential ``fit()``'s.
+    The loop exits once every lane has stopped.  Returns (stacked states
+    with per-lane best params restored, list of T per-trial histories).
+    """
+    T = len(keys)
+    keys = jnp.asarray(keys)
+    epoch_trials, val_loss_trials = make_mlp_trials_programs(
+        model, x_train, x_val, batch_size, binarize=binarize)
+
+    best_val = np.full(T, np.inf)
+    best_params = jax.tree_util.tree_map(lambda a: a.copy(), states.params)
+    patience_ctr = np.zeros(T, np.int64)
+    stopped = np.zeros(T, bool)
+    histories = [{"train_loss": [], "val_loss": []} for _ in range(T)]
+
+    for epoch in range(epochs):
+        beta = jnp.asarray(beta_fn(epoch), jnp.float32)
+        ekeys = jax.vmap(lambda k: jax.random.fold_in(k, epoch))(keys)
+        states, ep_losses = epoch_trials(states, ekeys, beta)
+        ep_loss = np.asarray(ep_losses["total"].mean(axis=1))
+        ep_gnorm = np.asarray(ep_losses["grad_norm"].mean(axis=1))
+        vkeys = jax.vmap(lambda k: jax.random.fold_in(k, 10_000))(ekeys)
+        val_loss = val_loss_trials(states.params, vkeys, beta)
+
+        active = ~stopped
+        for t in np.nonzero(active)[0]:
+            histories[t]["train_loss"].append(float(ep_loss[t]))
+            histories[t]["val_loss"].append(float(val_loss[t]))
+        if log_fn:
+            log_fn(epoch, {"train_loss": float(ep_loss[active].mean()),
+                           "val_loss": float(val_loss[active].mean()),
+                           "grad_norm": float(ep_gnorm[active].mean()),
+                           "beta": float(beta),
+                           "active_trials": int(active.sum())})
+
+        improved = active & np.isfinite(val_loss) & (val_loss < best_val)
+        if improved.any():
+            sel = jnp.asarray(improved)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(
+                    sel.reshape((T,) + (1,) * (p.ndim - 1)), p, b),
+                best_params, states.params)
+            best_val = np.where(improved, val_loss, best_val)
+        patience_ctr = np.where(improved, 0,
+                                patience_ctr + active.astype(np.int64))
+        stopped = stopped | (patience_ctr >= patience)
+        if stopped.all():
+            break
+
+    states = states.replace(params=best_params)
+    for t in range(T):
+        histories[t]["best_val"] = float(best_val[t])
+    return states, histories
+
+
 def stack_epoch_batches(x_train, perm, steps: int, batch_size: int):
     """(S*B indices) -> (S, B, ...) device-ready stack for an epoch scan.
 

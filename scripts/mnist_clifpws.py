@@ -55,9 +55,12 @@ from cliffordtpu.nn.losses import compute_test_metrics
 from cliffordtpu.runners.safety import EMPTY_BINDING, EMPTY_CURVE, safe_eval
 from cliffordtpu.train.loop import (
     fit,
+    fit_trials,
+    index_trial_state,
     make_mlp_epoch_step,
     make_mlp_eval_step,
     make_mlp_train_step,
+    stack_trial_states,
 )
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
@@ -213,6 +216,42 @@ def run(args):
             print(f"\n--- Testing {dist.upper()}-VAE with d={mdim} "
                   f"(model z_dim={model_z_dim}, lr={args.lr}) ---")
 
+            # batched-trial training: all n_runs lanes advance together in
+            # one vmapped XLA program (per-lane results == sequential fit;
+            # tests/test_train.py::test_fit_trials_matches_sequential_fit)
+            vmapped = None
+            if getattr(args, "vmap_trials", False) and args.n_runs > 1:
+                run_keys = [
+                    jax.random.fold_in(
+                        jax.random.fold_in(root_key, mdim * 1000 + r),
+                        stable_hash(dist) % 100_000)
+                    for r in range(args.n_runs)
+                ]
+                l2n = dist == "normal"
+                mdist = "normal" if dist == "normal_nol2" else dist
+                vmodel = MLPVAE(h_dim=args.h_dim, z_dim=model_z_dim,
+                                distribution=mdist, l2_normalize=l2n)
+                vstates = stack_trial_states([
+                    create_train_state(k, vmodel, jnp.zeros((2, 784)),
+                                       optimizer="adam", lr=args.lr,
+                                       clip_norm=1.0) for k in run_keys])
+                fit_keys = jnp.stack(
+                    [jax.random.fold_in(k, 1) for k in run_keys])
+                t0 = time.time()
+                vstates, vhists = fit_trials(
+                    vstates, fit_keys, x_train, x_val, vmodel,
+                    epochs=args.epochs, batch_size=args.batch_size,
+                    beta_fn=lambda e: linear_kl_warmup(
+                        e, args.warmup_epochs),
+                    patience=(args.patience if args.patience > 0
+                              else 10**9),
+                )
+                vtime = time.time() - t0
+                print(f"vmapped training: {args.n_runs} trials in "
+                      f"{vtime:.2f}s "
+                      f"({vtime / args.n_runs:.2f}s/trial amortized)")
+                vmapped = (vstates, vhists, vtime)
+
             for run_i in range(args.n_runs):
                 print(f"\n--- Run {run_i + 1}/{args.n_runs} ---")
                 run_start_time = time.time()
@@ -236,19 +275,26 @@ def run(args):
                               if args.scan_epochs else None)
 
                 train_start_time = time.time()
-                state, history = fit(
-                    state, train_step, eval_step,
-                    jax.random.fold_in(run_key, 1),
-                    x_train, x_val,
-                    epochs=args.epochs, batch_size=args.batch_size,
-                    beta_fn=lambda e: linear_kl_warmup(e, args.warmup_epochs),
-                    patience=args.patience if args.patience > 0 else 10**9,
-                    log_fn=(lambda e, m: logger.log_metrics(
-                        {"epoch": e, **m})) if logger.use else None,
-                    epoch_step=epoch_step,
-                )
+                if vmapped is not None:
+                    state = index_trial_state(vmapped[0], run_i)
+                    history = vmapped[1][run_i]
+                    train_time = vmapped[2] / args.n_runs  # amortized
+                else:
+                    state, history = fit(
+                        state, train_step, eval_step,
+                        jax.random.fold_in(run_key, 1),
+                        x_train, x_val,
+                        epochs=args.epochs, batch_size=args.batch_size,
+                        beta_fn=lambda e: linear_kl_warmup(
+                            e, args.warmup_epochs),
+                        patience=(args.patience if args.patience > 0
+                                  else 10**9),
+                        log_fn=(lambda e, m: logger.log_metrics(
+                            {"epoch": e, **m})) if logger.use else None,
+                        epoch_step=epoch_step,
+                    )
+                    train_time = time.time() - train_start_time
                 best_val_loss = history["best_val"]
-                train_time = time.time() - train_start_time
                 print(f"training time for {dist}-d{mdim}-run{run_i + 1}: "
                       f"{train_time:.2f}s "
                       f"({len(history['train_loss'])} epochs)")
@@ -581,6 +627,12 @@ def build_parser():
                         help="compile each training epoch as ONE lax.scan "
                              "program (device-bound throughput on slow "
                              "hosts; same losses as the per-step path)")
+    parser.add_argument("--vmap_trials", action="store_true",
+                        help="train all n_runs trials of each "
+                             "(distribution, d) cell SIMULTANEOUSLY as one "
+                             "vmapped XLA program (per-trial results equal "
+                             "the sequential path; the reference trains "
+                             "its 20 runs one by one)")
     parser.add_argument("--distributions", type=str, nargs="+", default=None,
                         help="subset of the latent families to run "
                              f"(default: all of {DISTRIBUTIONS}; an "

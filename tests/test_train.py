@@ -187,6 +187,52 @@ def test_mlp_epoch_scan_matches_per_step_fit():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_fit_trials_matches_sequential_fit():
+    """Batched-trial training (fit_trials: vmap over the trial axis) must
+    reproduce each trial of the sequential fit() path — same per-lane key
+    stream, best-checkpoint selection, and per-trial early stopping."""
+    from cliffordtpu.train.loop import (fit_trials, index_trial_state,
+                                        stack_trial_states)
+
+    x = np.random.default_rng(2).uniform(0, 1, (96, 784)).astype(np.float32)
+    x_tr, x_val = x[:64], x[64:]
+    model = MLPVAE(h_dim=128, z_dim=4, distribution="clifford")
+    T = 3
+    trial_keys = [jax.random.fold_in(KEY, 100 + t) for t in range(T)]
+    # low patience so lanes stop at different epochs
+    kw = dict(epochs=6, batch_size=16, beta_fn=lambda e: 0.5, patience=2)
+
+    seq = []
+    for t in range(T):
+        state = create_train_state(trial_keys[t], model,
+                                   jnp.zeros((2, 784)), lr=1e-3)
+        seq.append(fit(
+            state, make_mlp_train_step(model), make_mlp_eval_step(model),
+            jax.random.fold_in(trial_keys[t], 1), x_tr, x_val, **kw))
+
+    states = stack_trial_states([
+        create_train_state(trial_keys[t], model, jnp.zeros((2, 784)),
+                           lr=1e-3) for t in range(T)])
+    fit_keys = jnp.stack([jax.random.fold_in(k, 1) for k in trial_keys])
+    states_v, hists_v = fit_trials(states, fit_keys, x_tr, x_val, model,
+                                   **kw)
+
+    for t in range(T):
+        state_s, hist_s = seq[t]
+        assert len(hists_v[t]["train_loss"]) == len(hist_s["train_loss"])
+        np.testing.assert_allclose(hists_v[t]["train_loss"],
+                                   hist_s["train_loss"], rtol=2e-4)
+        np.testing.assert_allclose(hists_v[t]["val_loss"],
+                                   hist_s["val_loss"], rtol=2e-4)
+        np.testing.assert_allclose(hists_v[t]["best_val"],
+                                   hist_s["best_val"], rtol=2e-4)
+        state_t = index_trial_state(states_v, t)
+        for a, b in zip(jax.tree_util.tree_leaves(state_t.params),
+                        jax.tree_util.tree_leaves(state_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
+
+
 def test_cnn_epoch_scan_matches_per_step():
     """make_cnn_epoch_step == looped make_cnn_train_step on the same keys."""
     from cliffordtpu.nn import CNNVAE
