@@ -184,6 +184,35 @@ def run(args):
         agg_metrics = {"ll": [], "entropy": [], "recon": [], "kl": []}
         agg_mvc = []
 
+        # batched-trial training (see mnist_clifpws.py --vmap_trials)
+        vmapped = None
+        if getattr(args, "vmap_trials", False) and args.n_runs > 1:
+            from cliffordtpu.train.loop import (fit_trials,
+                                                stack_trial_states)
+
+            run_keys = [
+                jax.random.fold_in(root_key, d_manifold * 1000 + r)
+                for r in range(args.n_runs)]
+            vmodel = MLPVAE(h_dim=args.h_dim, z_dim=model_z_dim,
+                            distribution="vmf")
+            vstates = stack_trial_states([
+                create_train_state(k, vmodel, jnp.zeros((2, 784)),
+                                   optimizer="adam", lr=args.lr)
+                for k in run_keys])
+            fit_keys = jnp.stack(
+                [jax.random.fold_in(k, 1) for k in run_keys])
+            t0 = time.time()
+            vstates, vhists = fit_trials(
+                vstates, fit_keys, x_train, x_val, vmodel,
+                epochs=args.epochs, batch_size=args.batch_size,
+                beta_fn=lambda e: linear_kl_warmup(e, args.warmup_epochs),
+                patience=args.patience if args.patience > 0 else 10**9,
+            )
+            vtime = time.time() - t0
+            print(f"vmapped training: {args.n_runs} trials in {vtime:.2f}s "
+                  f"({vtime / args.n_runs:.2f}s/trial amortized)")
+            vmapped = (vstates, vhists, vtime)
+
         for run_idx in range(args.n_runs):
             print(f"\n--- run {run_idx + 1}/{args.n_runs} ---")
             run_start_time = time.time()
@@ -194,22 +223,34 @@ def run(args):
 
             model = MLPVAE(h_dim=args.h_dim, z_dim=model_z_dim,
                            distribution="vmf")
-            state = create_train_state(run_key, model, jnp.zeros((2, 784)),
-                                       optimizer="adam", lr=args.lr)
             train_start_time = time.time()
-            state, history = fit(
-                state, make_mlp_train_step(model), make_mlp_eval_step(model),
-                jax.random.fold_in(run_key, 1), x_train, x_val,
-                epochs=args.epochs, batch_size=args.batch_size,
-                beta_fn=lambda e: linear_kl_warmup(e, args.warmup_epochs),
-                patience=args.patience if args.patience > 0 else 10**9,
-                log_fn=(lambda e, m: logger.log_metrics({"epoch": e, **m}))
-                if logger.use else None,
-                epoch_step=(make_mlp_epoch_step(model)
-                            if getattr(args, "scan_epochs", False) else None),
-            )
+            if vmapped is not None:
+                from cliffordtpu.train.loop import index_trial_state
+
+                state = index_trial_state(vmapped[0], run_idx)
+                history = vmapped[1][run_idx]
+                train_time = vmapped[2] / args.n_runs  # amortized
+            else:
+                state = create_train_state(run_key, model,
+                                           jnp.zeros((2, 784)),
+                                           optimizer="adam", lr=args.lr)
+                state, history = fit(
+                    state, make_mlp_train_step(model),
+                    make_mlp_eval_step(model),
+                    jax.random.fold_in(run_key, 1), x_train, x_val,
+                    epochs=args.epochs, batch_size=args.batch_size,
+                    beta_fn=lambda e: linear_kl_warmup(
+                        e, args.warmup_epochs),
+                    patience=args.patience if args.patience > 0 else 10**9,
+                    log_fn=(lambda e, m: logger.log_metrics(
+                        {"epoch": e, **m}))
+                    if logger.use else None,
+                    epoch_step=(make_mlp_epoch_step(model)
+                                if getattr(args, "scan_epochs", False)
+                                else None),
+                )
+                train_time = time.time() - train_start_time
             best_val_loss = history["best_val"]
-            train_time = time.time() - train_start_time
             print(f"training time: {train_time:.2f}s")
 
             eval_start_time = time.time()
@@ -481,6 +522,9 @@ def build_parser():
     parser.add_argument("--vsa_trials", type=int, default=20)
     parser.add_argument("--eval_subprocess", action="store_true")
     parser.add_argument("--scan_epochs", action="store_true")
+    parser.add_argument("--vmap_trials", action="store_true",
+                        help="train all n_runs trials simultaneously as "
+                             "one vmapped XLA program (see mnist_clifpws)")
     return parser
 
 
