@@ -302,7 +302,10 @@ def run(args):
                 eval_start_time = time.time()
                 vis_dir_pre = ensure_dir(f"visualizations/d_{mdim}/{dist}")
                 did_sub, sub_metrics, sub_vsa = False, {}, {}
-                if getattr(args, "eval_subprocess", False):
+                train_only = getattr(args, "train_only", False)
+                if train_only:
+                    did_sub = True  # route every stage() to its default
+                elif getattr(args, "eval_subprocess", False):
                     did_sub, sub_metrics, sub_vsa = _run_subprocess_eval(
                         args, state, vis_dir_pre, arch="mlp",
                         distribution=model_dist, latent_dim=model_z_dim,
@@ -324,13 +327,14 @@ def run(args):
                              if eval_dev is not None else run_key)
                 ekey = jax.random.fold_in(eval_root, 2)
 
-                test_metrics = safe_eval(
+                _nan_metrics = {"ll": float("nan"), "entropy": float("nan"),
+                                "recon": float("nan"), "kl": float("nan")}
+                test_metrics = _nan_metrics if train_only else safe_eval(
                     "compute_test_metrics",
                     lambda: compute_test_metrics(
                         ekey, model, eval_params,
                         _batches(x_test, y_test, 512)),
-                    default={"ll": float("nan"), "entropy": float("nan"),
-                             "recon": float("nan"), "kl": float("nan")})
+                    default=_nan_metrics)
                 for mname in ["ll", "entropy", "recon", "kl"]:
                     agg_metrics[dist][mname].append(test_metrics[mname])
                 print(f"  LL: {test_metrics['ll']:.2f}, "
@@ -633,6 +637,9 @@ def build_parser():
                              "vmapped XLA program (per-trial results equal "
                              "the sequential path; the reference trains "
                              "its 20 runs one by one)")
+    parser.add_argument("--train_only", action="store_true",
+                        help="skip the eval battery entirely (timing/perf "
+                             "studies); metrics columns come out NaN")
     parser.add_argument("--distributions", type=str, nargs="+", default=None,
                         help="subset of the latent families to run "
                              f"(default: all of {DISTRIBUTIONS}; an "
