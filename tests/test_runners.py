@@ -59,3 +59,31 @@ def test_cnn_runner_inprocess_smoke(tmp_path):
         "not execute")
     assert (tmp_path / "fashionmnist_results.csv").exists()
     assert (tmp_path / "smoke_timing.json").exists()
+
+
+def test_mlp_runner_vmap_trials_train_only(tmp_path):
+    """--vmap_trials + --train_only end-to-end: both lanes train in one
+    vmapped program, eval stages take their defaults, artifact contract
+    (per-trial dirs, CSV, timing JSON) still holds."""
+    mnist_clifpws = _load_script("mnist_clifpws")
+    args = mnist_clifpws.build_parser().parse_args([
+        "--d_dims", "2", "--n_runs", "2", "--epochs", "2",
+        "--warmup_epochs", "1", "--patience", "5", "--batch_size", "32",
+        "--limit_train", "128", "--limit_test", "32",
+        "--distributions", "clifford", "--no_wandb",
+        "--vmap_trials", "--train_only", "--outdir", str(tmp_path),
+    ])
+    cwd = os.getcwd()
+    try:
+        mnist_clifpws.run(args)
+    finally:
+        os.chdir(cwd)
+
+    for t in (1, 2):
+        m = json.loads(
+            (tmp_path / "results" / f"mnist-clifford-d2-l1-trial{t}"
+             / "metrics.json").read_text())
+        assert math.isfinite(m["final_val_loss"])  # training really ran
+        assert math.isnan(m["test/ll"])            # eval really skipped
+    assert (tmp_path / "mnist_vae_results.csv").exists()
+    assert (tmp_path / "mnist_clifpws_timing.json").exists()
