@@ -52,6 +52,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s: float = 240.0):
+    """Live backend check with a deadline.
+
+    When the axon tunnel is unreachable, ``jax.devices()`` can HANG in
+    backend init rather than raise (observed >9 min); without this probe
+    the bench would produce NO output until an external timeout kills it.
+    Returns a device count (int) or an error string.
+    """
+    import threading
+
+    res = []
+
+    def p():
+        try:
+            import jax
+
+            res.append(len(jax.devices()))
+        except Exception as e:  # init raised (e.g. UNAVAILABLE)
+            res.append(f"backend init failed: {type(e).__name__}: {e}")
+
+    t = threading.Thread(target=p, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return res[0] if res else "backend init timed out (tunnel unreachable?)"
+
+
 def metric_name(cfg_name: str, cfg: dict, batch: int) -> str:
     if cfg_name == "flagship32" and batch == 64:
         return "cliffordar_vae_train_steps_per_sec_b64_32px"  # driver contract
@@ -317,6 +343,18 @@ def main():
 
     cfg = dict(CONFIGS[args.config])
     batch = args.batch or cfg["batch"]
+
+    probed = probe_backend()
+    if not isinstance(probed, int):
+        # fail FAST with a well-formed JSON line instead of hanging in
+        # backend init until an external timeout produces nothing
+        log(f"backend probe failed: {probed}")
+        print(json.dumps({
+            "metric": metric_name(args.config, cfg, batch),
+            "value": 0.0, "unit": "steps/s", "vs_baseline": None,
+            "error": str(probed),
+        }))
+        sys.exit(3)
 
     if args.batch_sweep:
         sweep = {}
