@@ -49,6 +49,10 @@ def build_parser():
     p = argparse.ArgumentParser(
         description="one-trial-per-process sweep driver (resume-safe)")
     p.add_argument("--runner", required=True, choices=sorted(RUNNERS))
+    p.add_argument("--dataset", default=None,
+                   help="override the runner's default dataset (e.g. "
+                        "mnist32 on fashion_train for the real digit "
+                        "shard); keeps artifact naming consistent")
     p.add_argument("--outdir", required=True)
     p.add_argument("--distributions", type=str, nargs="+", required=True)
     p.add_argument("--latent_dims", type=int, nargs="+", required=True)
@@ -100,6 +104,8 @@ def build_cmd(args, passthrough, latent_dim, dist_name, trial_num):
         "--recon_loss", args.recon_loss,
         "--no_wandb",
     ]
+    if args.dataset:
+        cmd += ["--dataset", args.dataset]
     if args.n_trials > 1 or args.start_trial > 1:
         # single-trial child must still name artifacts -trial{n}
         cmd.append("--force_trial_suffix")
@@ -245,7 +251,7 @@ def main(argv=None):
     else:
         passthrough = []
     args = build_parser().parse_args(argv)
-    dataset = RUNNERS[args.runner]
+    dataset = args.dataset or RUNNERS[args.runner]
     os.makedirs(os.path.join(args.outdir, "logs"), exist_ok=True)
 
     cumulative_timing = {}
