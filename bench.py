@@ -53,29 +53,17 @@ def log(*a):
 
 
 def probe_backend(timeout_s: float = 240.0):
-    """Live backend check with a deadline.
+    """Live backend check with a deadline (cliffordtpu.utils.devprobe).
 
     When the axon tunnel is unreachable, ``jax.devices()`` can HANG in
     backend init rather than raise (observed >9 min); without this probe
     the bench would produce NO output until an external timeout kills it.
     Returns a device count (int) or an error string.
     """
-    import threading
+    from cliffordtpu.utils.devprobe import probe_live_devices
 
-    res = []
-
-    def p():
-        try:
-            import jax
-
-            res.append(len(jax.devices()))
-        except Exception as e:  # init raised (e.g. UNAVAILABLE)
-            res.append(f"backend init failed: {type(e).__name__}: {e}")
-
-    t = threading.Thread(target=p, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return res[0] if res else "backend init timed out (tunnel unreachable?)"
+    count, err = probe_live_devices(timeout_s)
+    return count if err is None else err
 
 
 def metric_name(cfg_name: str, cfg: dict, batch: int) -> str:

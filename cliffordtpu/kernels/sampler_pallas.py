@@ -49,9 +49,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cliffordtpu.kernels.torus_pallas import _round_up, _torus_fused_bwd
+from cliffordtpu.distributions.power_spherical import _EPS as _PS_EPS
+from cliffordtpu.kernels.torus_pallas import (
+    _round_up,
+    _torus_fused_bwd,
+    basis_tiles,
+    const_cols,
+)
 
-_PS_EPS = 1e-6  # must equal distributions.power_spherical._EPS
 _U_MIN = 1e-12  # must equal the XLA sampler's minval
 
 
@@ -68,7 +73,6 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
                          *, d: int, TN: int, kp: int):
     j = pl.program_id(1)  # output-column tile (inner)
     i = pl.program_id(0)  # batch tile (OUTER — theta cached per tile)
-    n = 2 * d
 
     @pl.when(j == 0)
     def _draw_and_sample():
@@ -92,20 +96,14 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
     # basis tiles for THIS j (regenerated per (i, j) — with the batch axis
     # outer there is no j-persistence; at the target config B fits one
     # batch tile so total generation cost matches torus_pallas exactly)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (kp, TN), 0) + 1
-    col = jax.lax.broadcasted_iota(jnp.int32, (kp, TN), 1) + j * TN
-    phase = ((krow * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
-    valid = (krow <= d - 1) & (col < n)
-    cos_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
-    sin_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+    cos_sc[:], sin_sc[:] = basis_tiles((kp, TN), d, k_axis=0,
+                                       n_offset=j * TN)
 
     th = th_sc[:]
-    ocol = (jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1) + j * TN)
-    const = jnp.where((ocol % 2 == 0) & (ocol < n), 2.0 / n, 0.0)
     out_ref[:] = (
         jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
         + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
-        + const
+        + const_cols(out_ref.shape, d, j * TN)
     )
 
 
@@ -113,7 +111,12 @@ def _sample_embed_call(seed, loc_pad, kap_pad, d: int):
     B, kp = loc_pad.shape
     n = 2 * d
     np_ = _round_up(n, 128)
-    TB = min(256, B)
+    # VMEM accounting: unlike torus_pallas (ONE (TB, kp) input block),
+    # this kernel keeps SIX (TB, kp) f32 buffers resident (loc, kappa in;
+    # theta, u, v out; th scratch) plus two (kp, TN) basis tiles — at
+    # d=4096 that is ~98 KB/row, so TB=256 would need ~28 MB and fail the
+    # ~16 MB VMEM budget.  Scale the batch tile down with kp.
+    TB = min(B, 256 if kp <= 1024 else (128 if kp <= 2048 else 64))
     TN = 128 if kp > 1024 else min(512, np_)
     grid = (pl.cdiv(B, TB), pl.cdiv(np_, TN))  # i outer, j inner
     return pl.pallas_call(

@@ -42,51 +42,66 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def basis_tiles(shape, d: int, *, k_axis: int, k_offset=0, n_offset=0):
+    """Generate (cos, sin) real-DFT basis tiles in-kernel (traced code).
+
+    ``k_axis`` says which iota axis carries the (1-based) angle index k;
+    the other axis carries the global output-column index.  The phase
+    ``2*pi*k*j/n`` is reduced mod n in int32 BEFORE the float multiply:
+    k*j reaches 33.5M at d=4096, beyond f32's exact-integer range, while
+    (k*j) % n < 2d is always exact.  Padded k rows (k > d-1) and padded
+    output columns (col >= n) are zeroed so callers' padding never leaks
+    (th pad entries are 0 but cos(0) = 1 would still contribute).
+
+    Shared by the torus fwd/bwd kernels AND the fused sampler kernel —
+    a masking or phase fix here serves all three.
+    """
+    n = 2 * d
+    i0 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    k = (i0 if k_axis == 0 else i1) + 1 + k_offset
+    col = (i1 if k_axis == 0 else i0) + n_offset
+    phase = ((k * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
+    valid = (k <= d - 1) & (col < n)
+    cos_t = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
+    sin_t = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+    return cos_t, sin_t
+
+
+def const_cols(shape, d: int, n_offset):
+    """The embedding's constant term: (1 + (-1)^col)/n = 2/n on even
+    columns, masked to the real n output columns."""
+    n = 2 * d
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + n_offset
+    return jnp.where((col % 2 == 0) & (col < n), 2.0 / n, 0.0)
+
+
 def _fwd_kernel(th_ref, out_ref, cos_sc, sin_sc, *, d: int, TN: int):
     j = pl.program_id(0)  # output-column tile (outer)
     i = pl.program_id(1)  # batch tile (inner)
-    n = 2 * d
 
     @pl.when(i == 0)
     def _generate_basis():
-        kp, tn = cos_sc.shape
-        # basis row k (angle index, 1-based), column = global output index
-        krow = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 0) + 1
-        col = jax.lax.broadcasted_iota(jnp.int32, (kp, tn), 1) + j * TN
-        phase = ((krow * col) % n).astype(jnp.float32) * (2.0 * math.pi / n)
-        # zero the padded k rows (th pad cols are 0 but cos(0) = 1 would
-        # still contribute) AND the padded output columns col >= n, so the
-        # raw kernel output is correct even unsliced
-        valid = (krow <= d - 1) & (col < n)
-        cos_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
-        sin_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+        cos_sc[:], sin_sc[:] = basis_tiles(
+            cos_sc.shape, d, k_axis=0, n_offset=j * TN)
 
     th = th_ref[:]
-    col = (jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1) + j * TN)
-    # (1 + (-1)^col)/n, masked to the real n output columns
-    const = jnp.where((col % 2 == 0) & (col < n), 2.0 / n, 0.0)
     out_ref[:] = (
         jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
         + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
-        + const
+        + const_cols(out_ref.shape, d, j * TN)
     )
 
 
 def _bwd_kernel(th_ref, g_ref, dth_ref, cbt_sc, sbt_sc, *, d: int, TK: int):
     kk = pl.program_id(0)  # k tile (outer)
     i = pl.program_id(1)   # batch tile (inner)
-    n = 2 * d
 
     @pl.when(i == 0)
     def _generate_basis_t():
-        npad, tk = cbt_sc.shape
-        row = jax.lax.broadcasted_iota(jnp.int32, (npad, tk), 0)  # n index
-        kcol = (jax.lax.broadcasted_iota(jnp.int32, (npad, tk), 1)
-                + kk * TK + 1)
-        phase = ((row * kcol) % n).astype(jnp.float32) * (2.0 * math.pi / n)
-        valid = (row < n) & (kcol <= d - 1)
-        cbt_sc[:] = jnp.where(valid, (2.0 / n) * jnp.cos(phase), 0.0)
-        sbt_sc[:] = jnp.where(valid, -(2.0 / n) * jnp.sin(phase), 0.0)
+        # transposed orientation: rows carry the output index, columns k
+        cbt_sc[:], sbt_sc[:] = basis_tiles(
+            cbt_sc.shape, d, k_axis=1, k_offset=kk * TK)
 
     th = th_ref[:]
     g = g_ref[:]

@@ -323,11 +323,16 @@ def make_mlp_trials_programs(model, x_train, x_val, batch_size: int,
     x_train_dev = jnp.asarray(x_train)
     x_val_dev = jnp.asarray(x_val)
     n = x_train.shape[0]
-    steps = max(1, n // batch_size)
+    # fit() trains one SHORT batch when n < batch_size (numpy slice);
+    # static shapes need the effective TRAIN batch capped to n to match.
+    # Val chunking below keeps the caller's batch_size so the val key
+    # stream (fold_in(vkey, s) at s = 0, batch_size, ...) stays identical.
+    train_bs = min(batch_size, n)
+    steps = max(1, n // train_bs)
 
     def epoch(state, ekey, beta):
         perm = jax.random.permutation(jax.random.fold_in(ekey, 0), n)
-        ids = perm[: steps * batch_size].reshape(steps, batch_size)
+        ids = perm[: steps * train_bs].reshape(steps, train_bs)
 
         def body(state, inp):
             i, batch_ids = inp

@@ -245,6 +245,8 @@ def run(args):
                         e, args.warmup_epochs),
                     patience=(args.patience if args.patience > 0
                               else 10**9),
+                    log_fn=(lambda e, m: logger.log_metrics(
+                        {"epoch": e, **m})) if logger.use else None,
                 )
                 vtime = time.time() - t0
                 print(f"vmapped training: {args.n_runs} trials in "
@@ -265,14 +267,6 @@ def run(args):
                 model_dist = "normal" if dist == "normal_nol2" else dist
                 model = MLPVAE(h_dim=args.h_dim, z_dim=model_z_dim,
                                distribution=model_dist, l2_normalize=l2_norm)
-                state = create_train_state(
-                    run_key, model, jnp.zeros((2, 784)), optimizer="adam",
-                    lr=args.lr, clip_norm=1.0)
-
-                train_step = make_mlp_train_step(model)
-                eval_step = make_mlp_eval_step(model)
-                epoch_step = (make_mlp_epoch_step(model)
-                              if args.scan_epochs else None)
 
                 train_start_time = time.time()
                 if vmapped is not None:
@@ -280,6 +274,14 @@ def run(args):
                     history = vmapped[1][run_i]
                     train_time = vmapped[2] / args.n_runs  # amortized
                 else:
+                    state = create_train_state(
+                        run_key, model, jnp.zeros((2, 784)),
+                        optimizer="adam", lr=args.lr, clip_norm=1.0)
+
+                    train_step = make_mlp_train_step(model)
+                    eval_step = make_mlp_eval_step(model)
+                    epoch_step = (make_mlp_epoch_step(model)
+                                  if args.scan_epochs else None)
                     state, history = fit(
                         state, train_step, eval_step,
                         jax.random.fold_in(run_key, 1),

@@ -207,6 +207,8 @@ def run(args):
                 epochs=args.epochs, batch_size=args.batch_size,
                 beta_fn=lambda e: linear_kl_warmup(e, args.warmup_epochs),
                 patience=args.patience if args.patience > 0 else 10**9,
+                log_fn=(lambda e, m: logger.log_metrics(
+                    {"epoch": e, **m})) if logger.use else None,
             )
             vtime = time.time() - t0
             print(f"vmapped training: {args.n_runs} trials in {vtime:.2f}s "

@@ -251,6 +251,12 @@ def main(argv=None):
     else:
         passthrough = []
     args = build_parser().parse_args(argv)
+    if args.dataset and args.runner != "fashion_train":
+        # cifar10_train defines no --dataset flag; every child would die
+        # at argparse with rc=2 after burning the retry budget
+        print(f"error: --dataset is only supported by the fashion_train "
+              f"runner (got --runner {args.runner})", file=sys.stderr)
+        return 2
     dataset = args.dataset or RUNNERS[args.runner]
     os.makedirs(os.path.join(args.outdir, "logs"), exist_ok=True)
 

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
+from cliffordtpu.distributions.power_spherical import _EPS as _PS_EPS
 from cliffordtpu.ops.torus import angles_to_torus
 
 KEY = jax.random.PRNGKey(0)
@@ -95,7 +96,7 @@ def test_fused_sampler_internal_consistency(d, B):
     """The kernel's x output must be the exact torus embedding of its own
     theta residual, and theta must satisfy the closed-form circle-sampler
     formula (distributions/clifford_torus.py::sample) on its own (u, v)
-    residuals — same formula, same 1e-12/1e-6 epsilons."""
+    residuals — same formula, same 1e-12/1e-7 (_PS_EPS) epsilons."""
     sp, seed, loc_pad, kap_pad, _ = _sampler_inputs(d, B)
     with pltpu.force_tpu_interpret_mode():
         x, th, u, v = sp._sample_embed_call(seed, loc_pad, kap_pad, d)
@@ -103,7 +104,7 @@ def test_fused_sampler_internal_consistency(d, B):
     ang = np.concatenate([np.zeros((B, 1)), th[:B, : d - 1]], -1)
     want = np.asarray(angles_to_torus(jnp.asarray(ang)))
     np.testing.assert_allclose(x[:B, : 2 * d], want, atol=1e-5)
-    nu = 2.0 * (kap_pad + 1e-6) + 1.0
+    nu = 2.0 * (kap_pad + _PS_EPS) + 1.0
     w = np.expm1((-2.0 / nu) * np.log(u))
     th_want = loc_pad + 2.0 * np.arctan(np.cos(2 * np.pi * v) * np.sqrt(w))
     np.testing.assert_allclose(th, np.asarray(th_want), atol=1e-6)
@@ -127,7 +128,7 @@ def test_fused_sampler_gradients_match_reconstruction():
         g = jax.grad(loss, argnums=(0, 1))(loc_pad, kap_pad)
 
     def loss_ref(lp, kpad):
-        nu = 2.0 * (kpad + 1e-6) + 1.0
+        nu = 2.0 * (kpad + _PS_EPS) + 1.0
         w = jnp.expm1((-2.0 / nu) * jnp.log(u))
         th2 = lp + 2.0 * jnp.arctan(jnp.cos(2 * np.pi * v) * jnp.sqrt(w))
         ang = jnp.concatenate(

@@ -233,6 +233,34 @@ def test_fit_trials_matches_sequential_fit():
                                        atol=2e-4, rtol=1e-3)
 
 
+def test_fit_trials_short_batch_matches_sequential():
+    """n_train < batch_size: fit() trains ONE short batch per epoch; the
+    static-shape vmapped path must cap the train batch (not crash) while
+    keeping the val key stream at the caller's batch_size."""
+    from cliffordtpu.train.loop import (fit_trials, index_trial_state,
+                                        stack_trial_states)
+
+    x = np.random.default_rng(3).uniform(0, 1, (50, 784)).astype(np.float32)
+    x_tr, x_val = x[:18], x[18:]   # 18 < batch_size 32
+    model = MLPVAE(h_dim=128, z_dim=4, distribution="normal")
+    kw = dict(epochs=2, batch_size=32, beta_fn=lambda e: 1.0, patience=5)
+    k0 = jax.random.fold_in(KEY, 7)
+    state = create_train_state(k0, model, jnp.zeros((2, 784)), lr=1e-3)
+    _, hist_s = fit(
+        state, make_mlp_train_step(model), make_mlp_eval_step(model),
+        jax.random.fold_in(k0, 1), x_tr, x_val, **kw)
+
+    states = stack_trial_states([
+        create_train_state(k0, model, jnp.zeros((2, 784)), lr=1e-3)])
+    _, hists_v = fit_trials(
+        states, jnp.stack([jax.random.fold_in(k0, 1)]), x_tr, x_val,
+        model, **kw)
+    np.testing.assert_allclose(hists_v[0]["train_loss"],
+                               hist_s["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(hists_v[0]["val_loss"], hist_s["val_loss"],
+                               rtol=2e-4)
+
+
 def test_cnn_epoch_scan_matches_per_step():
     """make_cnn_epoch_step == looped make_cnn_train_step on the same keys."""
     from cliffordtpu.nn import CNNVAE
