@@ -143,9 +143,11 @@ def rope_perm_t(w, n_heads: int):
     return jnp.asarray(k[:, perm])
 
 
-def copy_transformer_block_weights(sd, params, n_heads: int):
+def copy_transformer_block_weights(sd, params=None, n_heads: int = 1):
     """Reference ``TransformerBlock`` (``cnn/cliffordar_model.py:105-116``)
-    -> flax ``cliffordtpu.nn.vit_vae.TransformerBlock`` params."""
+    -> flax ``cliffordtpu.nn.vit_vae.TransformerBlock`` params.  ``params``
+    is unused (kept for call-site compatibility); the returned tree is
+    complete."""
     return {
         "RMSNorm_0": {"scale": jnp.asarray(sd["norm1.weight"])},
         "RMSNorm_1": {"scale": jnp.asarray(sd["norm2.weight"])},
@@ -163,3 +165,171 @@ def copy_transformer_block_weights(sd, params, n_heads: int):
             "Dense_2": {"kernel": linear_t(sd["ffn.w2.weight"])},
         },
     }
+
+
+# ---- full ViT / Hybrid model interop ----------------------------------
+# Complete state_dict -> flax param-tree converters for the remaining L2
+# families, used by tests/test_model_parity.py to prove weight-copied
+# forward parity of the WHOLE encoder/decoder stacks (GroupNorm grouping,
+# register tokens, quant/post_quant projections), not just single blocks.
+
+
+def _subdict(sd, prefix: str):
+    n = len(prefix)
+    return {k[n:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _count(sd, fmt: str) -> int:
+    i = 0
+    while any(k.startswith(fmt.format(i)) for k in sd):
+        i += 1
+    return i
+
+
+def _gn_p(sd, name):
+    return {"scale": jnp.asarray(sd[f"{name}.weight"]),
+            "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+
+def _conv_p(sd, name):
+    p = {"kernel": conv_t(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _convT_p(sd, name):
+    p = {"kernel": convtranspose_t(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _dense_p(sd, name):
+    p = {"kernel": linear_t(sd[f"{name}.weight"])}
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _res_down_block_p(sd, prefix):
+    """``ResDownBlock``/``HybridResDownBlock`` (``cliffordar_model.py:120-137,
+    611-625``): block = [GN, SiLU, Conv3x3 s2, GN, SiLU, Conv3x3] +
+    Conv2x2-s2 shortcut."""
+    return {
+        "GroupNorm_0": _gn_p(sd, f"{prefix}block.0"),
+        "Conv_0": _conv_p(sd, f"{prefix}block.2"),
+        "GroupNorm_1": _gn_p(sd, f"{prefix}block.3"),
+        "Conv_1": _conv_p(sd, f"{prefix}block.5"),
+        "Conv_2": _conv_p(sd, f"{prefix}shortcut"),
+    }
+
+
+def _res_up_block_p(sd, prefix):
+    """ViT ``ResUpBlock`` (``cliffordar_model.py:165-195``) with the
+    two-conv ``block2`` extra residual."""
+    return {
+        "GroupNorm_0": _gn_p(sd, f"{prefix}block.0"),
+        "ConvTranspose_0": _convT_p(sd, f"{prefix}block.2"),
+        "GroupNorm_1": _gn_p(sd, f"{prefix}block.3"),
+        "Conv_0": _conv_p(sd, f"{prefix}block.5"),
+        "ConvTranspose_1": _convT_p(sd, f"{prefix}shortcut"),
+        "GroupNorm_2": _gn_p(sd, f"{prefix}block2.0"),
+        "Conv_1": _conv_p(sd, f"{prefix}block2.2"),
+        "GroupNorm_3": _gn_p(sd, f"{prefix}block2.3"),
+        "Conv_2": _conv_p(sd, f"{prefix}block2.5"),
+    }
+
+
+def _hybrid_res_up_block_p(sd, prefix):
+    """``HybridResUpBlock`` (``cliffordar_model.py:628-650``) — single-conv
+    ``block2`` variant."""
+    return {
+        "GroupNorm_0": _gn_p(sd, f"{prefix}block.0"),
+        "ConvTranspose_0": _convT_p(sd, f"{prefix}block.2"),
+        "GroupNorm_1": _gn_p(sd, f"{prefix}block.3"),
+        "Conv_0": _conv_p(sd, f"{prefix}block.5"),
+        "ConvTranspose_1": _convT_p(sd, f"{prefix}shortcut"),
+        "GroupNorm_2": _gn_p(sd, f"{prefix}block2.0"),
+        "Conv_1": _conv_p(sd, f"{prefix}block2.2"),
+    }
+
+
+def copy_vit_encoder_weights(sd, n_heads: int):
+    """Reference ``ViTEncoder`` (``cliffordar_model.py:212-259``) ->
+    flax ``cliffordtpu.nn.vit_vae.ViTEncoder`` params."""
+    new = {
+        "Conv_0": _conv_p(sd, "conv_in"),
+        "register_token": jnp.asarray(sd["register_token.weight"]),
+        "RMSNorm_0": {"scale": jnp.asarray(sd["norm.weight"])},
+        "Dense_0": {"kernel": linear_t(sd["output.weight"])},
+    }
+    for i in range(_count(sd, "patchify.0.net.{}.")):
+        new[f"ResDownBlock_{i}"] = _res_down_block_p(
+            sd, f"patchify.0.net.{i}.")
+    for i in range(_count(sd, "layers.{}.")):
+        new[f"TransformerBlock_{i}"] = copy_transformer_block_weights(
+            _subdict(sd, f"layers.{i}."), n_heads=n_heads)
+    return new
+
+
+def copy_vit_decoder_weights(sd, n_heads: int):
+    """Reference ``ViTDecoder`` (``cliffordar_model.py:264-316``) ->
+    flax ``cliffordtpu.nn.vit_vae.ViTDecoder`` params."""
+    new = {
+        "Conv_0": _conv_p(sd, "conv_in.1"),
+        "register_token": jnp.asarray(sd["register_token.weight"]),
+        "GroupNorm_0": _gn_p(sd, "conv_out.0"),
+        "Conv_1": _conv_p(sd, "conv_out.2"),
+    }
+    for i in range(_count(sd, "layers.{}.")):
+        new[f"TransformerBlock_{i}"] = copy_transformer_block_weights(
+            _subdict(sd, f"layers.{i}."), n_heads=n_heads)
+    for i in range(_count(sd, "unpatchify.1.net.{}.")):
+        new[f"ResUpBlock_{i}"] = _res_up_block_p(sd, f"unpatchify.1.net.{i}.")
+    return new
+
+
+def copy_cliffordar_weights(sd, n_heads: int):
+    """Reference ``CliffordARVAE`` (``cliffordar_model.py:369-604``) ->
+    flax ``cliffordtpu.nn.vit_vae.CliffordARVAE`` params (quant_proj /
+    post_quant_proj included; learnable-beta sigmas copied when present)."""
+    new = {
+        "encoder_vit": copy_vit_encoder_weights(
+            _subdict(sd, "encoder_vit."), n_heads),
+        "quant_proj": _dense_p(sd, "quant_proj"),
+        "post_quant_proj": {"kernel": linear_t(sd["post_quant_proj.weight"])},
+        "decoder_vit": copy_vit_decoder_weights(
+            _subdict(sd, "decoder_vit."), n_heads),
+    }
+    if "log_sigma_0" in sd:
+        new["log_sigma_0"] = jnp.asarray(sd["log_sigma_0"])
+        new["log_sigma_1"] = jnp.asarray(sd["log_sigma_1"])
+    return new
+
+
+def copy_hybrid_vae_weights(sd, distribution: str):
+    """Reference ``HybridVAE`` (``cliffordar_model.py:712-848``) ->
+    flax ``cliffordtpu.nn.hybrid_vae.HybridVAE`` params."""
+    enc = {
+        "input_conv": _conv_p(sd, "encoder.input_conv"),
+        "fc_mu": _conv_p(sd, "encoder.fc_mu"),
+    }
+    if distribution == "gaussian":
+        enc["fc_logvar"] = _conv_p(sd, "encoder.fc_logvar")
+    else:
+        enc["fc_kappa"] = _conv_p(sd, "encoder.fc_kappa")
+    for i in range(_count(sd, "encoder.down_blocks.{}.")):
+        enc[f"down_{i}"] = _res_down_block_p(sd, f"encoder.down_blocks.{i}.")
+    dec = {
+        "input_proj": _dense_p(sd, "decoder.input_proj"),
+        "GroupNorm_0": _gn_p(sd, "decoder.output_conv.0"),
+        "output_conv": _conv_p(sd, "decoder.output_conv.2"),
+    }
+    for i in range(_count(sd, "decoder.up_blocks.{}.")):
+        dec[f"up_{i}"] = _hybrid_res_up_block_p(sd, f"decoder.up_blocks.{i}.")
+    new = {"encoder": enc, "decoder": dec}
+    if "log_sigma_0" in sd:
+        new["log_sigma_0"] = jnp.asarray(sd["log_sigma_0"])
+        new["log_sigma_1"] = jnp.asarray(sd["log_sigma_1"])
+    return new
