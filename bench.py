@@ -74,7 +74,8 @@ def metric_name(cfg_name: str, cfg: dict, batch: int) -> str:
     return f"{prefix}_train_steps_per_sec_b{batch}_{cfg['img']}px"
 
 
-def build_jax_model(cfg: dict, dtype: str, scan_layers: bool = False):
+def build_jax_model(cfg: dict, dtype: str, scan_layers: bool = False,
+                    fused_proj: bool = False):
     import jax.numpy as jnp
 
     from cliffordtpu.nn import CliffordARVAE, CNNVAE
@@ -84,7 +85,7 @@ def build_jax_model(cfg: dict, dtype: str, scan_layers: bool = False):
         return CliffordARVAE(
             latent_dim=cfg["latent"], image_size=cfg["img"],
             in_channels=cfg["in_ch"], distribution="clifford", dtype=jdt,
-            scan_layers=scan_layers)
+            scan_layers=scan_layers, fused_proj=fused_proj)
     return CNNVAE(
         latent_dim=cfg["latent"], in_channels=cfg["in_ch"],
         distribution="clifford", img_size=cfg["img"], dtype=jdt)
@@ -106,7 +107,8 @@ def _program_flops(compiled) -> float:
 
 def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
                 opt: str = "adamw", mesh_spec: str = None,
-                xla_opts: dict = None, scan_layers: bool = False) -> dict:
+                xla_opts: dict = None, scan_layers: bool = False,
+                fused_proj: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +121,7 @@ def measure_jax(cfg: dict, batch: int, dtype: str = "bfloat16",
 
     log(f"jax devices: {jax.devices()}, compute dtype: {dtype}, "
         f"config: {cfg}, batch {batch}")
-    model = build_jax_model(cfg, dtype, scan_layers)
+    model = build_jax_model(cfg, dtype, scan_layers, fused_proj)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(
         key, (batch, cfg["img"], cfg["img"], cfg["in_ch"])) * 2.0 - 1.0
@@ -293,6 +295,11 @@ def main():
     ap.add_argument("--scan_layers", action="store_true",
                     help="layer-stacked lax.scan ViT blocks instead of "
                          "unrolled (identical math; compile-time lever)")
+    ap.add_argument("--fused_proj", action="store_true",
+                    help="fused wqkv / w13 ViT projections (identical math, "
+                         "~40%% fewer MXU kernel launches per transformer "
+                         "block; targets the dot_general-launch-bound "
+                         "flagship decoder, BASELINE.md round-2 profile)")
     ap.add_argument("--rng", choices=["threefry", "rbg"], default="threefry",
                     help="PRNG implementation: threefry (jax default, "
                          "counter-based in u32 VPU ops) or rbg (hardware "
@@ -363,7 +370,7 @@ def main():
     if args.batch_sweep:
         sweep = {}
         for b in (64, 128, 256, 512):
-            res = measure_jax(cfg, b, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
+            res = measure_jax(cfg, b, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers, args.fused_proj)
             sweep[str(b)] = {**res,
                              "steps_per_sec": round(res["steps_per_sec"], 3),
                              "images_per_sec": round(
@@ -377,9 +384,9 @@ def main():
                        "sweep": sweep}, f, indent=2)
         log(f"wrote {out_path}")
         jax_res = sweep[str(batch)] if str(batch) in sweep \
-            else measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
+            else measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers, args.fused_proj)
     else:
-        jax_res = measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers)
+        jax_res = measure_jax(cfg, batch, args.dtype, args.opt, args.mesh, xla_opts, args.scan_layers, args.fused_proj)
     jax_sps = jax_res["steps_per_sec"]
 
     if args.skip_baseline:

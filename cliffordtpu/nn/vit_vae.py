@@ -91,16 +91,53 @@ def apply_rotary_half(x, cos, sin):
 # ---- transformer components ----
 
 
+def _sliced_xavier(n_fused: int):
+    """Xavier-uniform drawn per fused slice.
+
+    A fused kernel of shape (fan_in, n_fused * d_out) initialised with plain
+    xavier would use fan_out = n_fused * d_out and under-scale every slice
+    vs the unfused Dense layers it replaces.  Drawing with
+    fan_out = shape[1] // n_fused keeps the init distribution identical to
+    ``n_fused`` independent xavier Dense kernels (all fused slices here have
+    equal fan shapes)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[1] // n_fused
+        limit = math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(
+            key, shape, dtype, minval=-limit, maxval=limit)
+
+    return init
+
+
 class SwiGLU(nn.Module):
-    """``cliffordar_model.py:69-79``."""
+    """``cliffordar_model.py:69-79``.
+
+    ``fused_proj``: compute w1 and w3 as ONE matmul over a column-pair
+    interleaved kernel ``w13`` of shape (D, d_ff, 2) -> (D, 2*d_ff)
+    (columns ordered (w1_0, w3_0, w1_1, w3_1, ...)).  Identical math —
+    each output column is the same fan-in reduction — with one MXU kernel
+    (and one dgrad/wgrad pair in the backward) instead of two.  The pair
+    interleave keeps the silu(w1x)*w3x elementwise product shard-local
+    when the fused axis is tensor-parallel over "model"."""
 
     d_model: int
     dtype: Any = jnp.float32
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x):
         d_ff = int(self.d_model * 8 / 3)
         d_ff = ((d_ff + 255) // 256) * 256
+        if self.fused_proj:
+            y = nn.Dense(2 * d_ff, use_bias=False,
+                         kernel_init=_sliced_xavier(2), dtype=self.dtype,
+                         name="w13")(x)
+            y = y.reshape(y.shape[:-1] + (d_ff, 2))
+            h = nn.silu(y[..., 0]) * y[..., 1]
+            return nn.Dense(self.d_model, use_bias=False,
+                            kernel_init=_XAVIER, dtype=self.dtype,
+                            name="w2")(h)
         w1 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER,
                       dtype=self.dtype)(x)
         w3 = nn.Dense(d_ff, use_bias=False, kernel_init=_XAVIER,
@@ -110,25 +147,42 @@ class SwiGLU(nn.Module):
 
 
 class Attention(nn.Module):
-    """Non-causal MHA with 2-D RoPE (``cliffordar_model.py:82-102``)."""
+    """Non-causal MHA with 2-D RoPE (``cliffordar_model.py:82-102``).
+
+    ``fused_proj``: q/k/v as ONE matmul over a head-interleaved kernel
+    ``wqkv`` of shape (D, H, 3, hd) -> (D, 3D) (for each head h the
+    columns [3*hd*h : 3*hd*(h+1)] are [q_h | k_h | v_h]).  Identical math
+    with 1 MXU kernel instead of 3 forward (2 instead of 6 backward) —
+    the flagship decoder step is bound by ~22 us dot_general launches at
+    these shapes (BASELINE.md round-2 profile), so kernel count is the
+    lever.  Head-grouping keeps every (q_h, k_h, v_h) triple on one shard
+    under tensor parallelism over "model" (heads divisible by tp)."""
 
     d_model: int
     n_heads: int
     dtype: Any = jnp.float32
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin):
         B, S, D = x.shape
         hd = self.d_model // self.n_heads
-        q = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
-                     dtype=self.dtype)(x)
-        k = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
-                     dtype=self.dtype)(x)
-        v = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
-                     dtype=self.dtype)(x)
-        q = q.reshape(B, S, self.n_heads, hd)
-        k = k.reshape(B, S, self.n_heads, hd)
-        v = v.reshape(B, S, self.n_heads, hd)
+        if self.fused_proj:
+            y = nn.Dense(3 * D, use_bias=False,
+                         kernel_init=_sliced_xavier(3), dtype=self.dtype,
+                         name="wqkv")(x)
+            y = y.reshape(B, S, self.n_heads, 3, hd)
+            q, k, v = y[..., 0, :], y[..., 1, :], y[..., 2, :]
+        else:
+            q = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                         dtype=self.dtype)(x)
+            k = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                         dtype=self.dtype)(x)
+            v = nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                         dtype=self.dtype)(x)
+            q = q.reshape(B, S, self.n_heads, hd)
+            k = k.reshape(B, S, self.n_heads, hd)
+            v = v.reshape(B, S, self.n_heads, hd)
         if cos is not None:
             # half-split rotation in the permuted head basis (see
             # apply_rotary_half); q.k is invariant to the permutation
@@ -136,6 +190,9 @@ class Attention(nn.Module):
             k = apply_rotary_half(k, cos, sin)
         out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, S, D)
+        if self.fused_proj:
+            return nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
+                            dtype=self.dtype, name="wo")(out)
         return nn.Dense(D, use_bias=False, kernel_init=_XAVIER,
                         dtype=self.dtype)(out)
 
@@ -146,13 +203,16 @@ class TransformerBlock(nn.Module):
     d_model: int
     n_heads: int
     dtype: Any = jnp.float32
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin):
-        x = x + Attention(self.d_model, self.n_heads, dtype=self.dtype)(
+        x = x + Attention(self.d_model, self.n_heads, dtype=self.dtype,
+                          fused_proj=self.fused_proj)(
             nn.RMSNorm(epsilon=1e-6)(x), cos, sin
         ).astype(x.dtype)
-        x = x + SwiGLU(self.d_model, dtype=self.dtype)(
+        x = x + SwiGLU(self.d_model, dtype=self.dtype,
+                       fused_proj=self.fused_proj)(
             nn.RMSNorm(epsilon=1e-6)(x)).astype(x.dtype)
         return x
 
@@ -164,15 +224,17 @@ class _ScanBlockBody(nn.Module):
     d_model: int
     n_heads: int
     dtype: Any = jnp.float32
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin):
         return TransformerBlock(self.d_model, self.n_heads,
-                                dtype=self.dtype)(x, cos, sin), None
+                                dtype=self.dtype,
+                                fused_proj=self.fused_proj)(x, cos, sin), None
 
 
 def _run_blocks(x, cos, sin, n_layers, d_model, n_heads, dtype,
-                scan_layers: bool):
+                scan_layers: bool, fused_proj: bool = False):
     """The transformer stack, unrolled (default) or as ONE lax.scan over
     layer-stacked weights (``scan_layers=True``).
 
@@ -185,7 +247,8 @@ def _run_blocks(x, cos, sin, n_layers, d_model, n_heads, dtype,
     """
     if not scan_layers:
         for _ in range(n_layers):
-            x = TransformerBlock(d_model, n_heads, dtype=dtype)(x, cos, sin)
+            x = TransformerBlock(d_model, n_heads, dtype=dtype,
+                                 fused_proj=fused_proj)(x, cos, sin)
         return x
     scanned = nn.scan(
         _ScanBlockBody,
@@ -194,7 +257,8 @@ def _run_blocks(x, cos, sin, n_layers, d_model, n_heads, dtype,
         length=n_layers,
         in_axes=(nn.broadcast, nn.broadcast),
     )
-    x, _ = scanned(d_model, n_heads, dtype=dtype)(x, cos, sin)
+    x, _ = scanned(d_model, n_heads, dtype=dtype,
+                   fused_proj=fused_proj)(x, cos, sin)
     return x
 
 
@@ -277,6 +341,7 @@ class ViTEncoder(nn.Module):
     register_tokens: int = 4
     dtype: Any = jnp.float32
     scan_layers: bool = False
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, image):
@@ -307,7 +372,8 @@ class ViTEncoder(nn.Module):
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
         x = _run_blocks(x, cos, sin, self.n_layers, self.d_model,
-                        self.n_heads, self.dtype, self.scan_layers)
+                        self.n_heads, self.dtype, self.scan_layers,
+                        self.fused_proj)
         x = x[:, self.register_tokens:, :].astype(jnp.float32)
         x = nn.RMSNorm(epsilon=1e-6)(x)
         return nn.Dense(self.d_model, use_bias=False, kernel_init=_XAVIER)(x)
@@ -324,6 +390,7 @@ class ViTDecoder(nn.Module):
     register_tokens: int = 4
     dtype: Any = jnp.float32
     scan_layers: bool = False
+    fused_proj: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -350,7 +417,8 @@ class ViTDecoder(nn.Module):
         )
         cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
         x = _run_blocks(x, cos, sin, self.n_layers, self.d_model,
-                        self.n_heads, self.dtype, self.scan_layers)
+                        self.n_heads, self.dtype, self.scan_layers,
+                        self.fused_proj)
         x = x[:, self.register_tokens:, :]
         x = x.reshape(B, g, g, self.d_model)
         for ch in self.cnn_chs[1:]:
@@ -411,6 +479,9 @@ class CliffordARVAE(nn.Module):
     scan_layers: bool = False  # ONE lax.scan over layer-stacked ViT
     # weights instead of unrolled blocks (identical math, different param
     # tree — see _run_blocks; compile-time lever)
+    fused_proj: bool = False  # fused wqkv / w13 projections (identical
+    # math, fewer MXU kernel launches, different param tree — see
+    # Attention/SwiGLU; convert checkpoints with nn.param_convert)
 
     def _cfg(self):
         cfg = default_config(self.image_size)
@@ -438,6 +509,7 @@ class CliffordARVAE(nn.Module):
             cnn_chs=cfg["cnn_chs"], image_size=self.image_size,
             patch_size=cfg["patch_size"], register_tokens=self.register_tokens,
             dtype=self.dtype, scan_layers=self.scan_layers,
+            fused_proj=self.fused_proj,
         )
         if self.distribution == "gaussian":
             self.quant_proj = nn.Dense(self.latent_dim * 2, kernel_init=_XAVIER)
@@ -451,7 +523,7 @@ class CliffordARVAE(nn.Module):
             cnn_chs=cfg["cnn_chs"][::-1], out_channels=self.in_channels,
             image_size=self.image_size, patch_size=cfg["patch_size"],
             register_tokens=self.register_tokens, dtype=self.dtype,
-            scan_layers=self.scan_layers,
+            scan_layers=self.scan_layers, fused_proj=self.fused_proj,
         )
         self._dec_latent_dim = dec_latent
         if self.use_learnable_beta:

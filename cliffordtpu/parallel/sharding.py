@@ -29,12 +29,22 @@ def _rule_for_path(path: tuple) -> P:
     if not is_kernel:
         return P()
     if "Attention_0" in joined:
-        if any(f"Dense_{i}" in keys for i in (0, 1, 2)):
-            return P(None, "model")  # q/k/v: column parallel
+        if "wo" in keys:
+            return P("model", None)  # fused layout: wo row parallel
+        if "wqkv" in keys or any(f"Dense_{i}" in keys for i in (0, 1, 2)):
+            # q/k/v column parallel.  The fused wqkv kernel is
+            # head-interleaved ([q_h|k_h|v_h] per head), so a "model"
+            # shard of its 3D output axis holds whole (q,k,v) head
+            # triples — the reshape/split in Attention stays shard-local.
+            return P(None, "model")
         return P("model", None)  # wo: row parallel
     if "SwiGLU_0" in joined:
-        if "Dense_0" in keys or "Dense_1" in keys:
-            return P(None, "model")  # w1 / w3
+        if "w2" in keys:
+            return P("model", None)  # fused layout: w2 row parallel
+        if "w13" in keys or "Dense_0" in keys or "Dense_1" in keys:
+            # w1/w3 column parallel; the fused w13 kernel pairs (w1_i,
+            # w3_i) in adjacent columns so silu(w1x)*w3x is shard-local.
+            return P(None, "model")
         return P("model", None)  # w2
     return P()
 

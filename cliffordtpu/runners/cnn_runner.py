@@ -133,6 +133,8 @@ def _run_subprocess_eval(args, state, output_dir, dataset_name,
             cmd += ["--l2_normalize"]
         if getattr(args, "scan_layers_model", False):
             cmd += ["--scan_layers"]  # param tree is layer-stacked
+        if getattr(args, "fused_proj", False):
+            cmd += ["--fused_proj"]  # fused wqkv/w13 param tree
         if args.limit_train:
             cmd += ["--limit_train", str(args.limit_train)]
         if args.limit_test:
@@ -183,7 +185,8 @@ def build_model(args, dist_name: str, latent_dim: int, in_channels: int):
             distribution=actual_dist, recon_loss_type=args.recon_loss,
             l1_weight=args.l1_weight, l2_normalize=l2_norm,
             use_learnable_beta=args.use_learnable_beta,
-            scan_layers=bool(getattr(args, "scan_layers_model", False)))
+            scan_layers=bool(getattr(args, "scan_layers_model", False)),
+            fused_proj=bool(getattr(args, "fused_proj", False)))
     return model
 
 

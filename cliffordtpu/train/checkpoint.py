@@ -24,6 +24,12 @@ _CKPT_NAME = "best_model.ckpt"
 #     ``vit_vae.apply_rotary_half`` (pair i = (i, i + hd/2)).  Loading a v1
 #     checkpoint permutes q/k columns (and the matching adam moments) so old
 #     checkpoints keep computing identical attention under the new kernel.
+# v2 + "proj_layout" tag: records whether ViT q/k/v and SwiGLU w1/w3 live
+#     as separate Dense kernels ("split") or as the fused wqkv/w13 kernels
+#     ("fused", ``vit_vae`` fused_proj=True).  The tag is derived from the
+#     param tree itself, so untagged v2 checkpoints load fine; loading into
+#     a model with the other layout rearranges params + adam moments
+#     exactly (``nn.param_convert``).
 CKPT_FORMAT_VERSION = 2
 ROPE_LAYOUT = "half"
 
@@ -97,13 +103,17 @@ def save_checkpoint(output_dir: str, state, step: int = 0,
     path = os.path.abspath(os.path.join(output_dir, _CKPT_NAME))
     if os.path.exists(path):
         shutil.rmtree(path)
+    from cliffordtpu.nn.param_convert import detect_proj_layout
+
+    params_host = _to_host(state.params)
     payload = {
-        "params": _to_host(state.params),
+        "params": params_host,
         "opt_state": _to_host(state.opt_state),
         "step": step,
         "best_metric": float(best_metric),
         "format_version": CKPT_FORMAT_VERSION,
         "rope_layout": ROPE_LAYOUT,
+        "proj_layout": detect_proj_layout(params_host),
     }
     if rng_key is not None:
         payload["rng_key"] = np.asarray(rng_key)
@@ -113,14 +123,24 @@ def save_checkpoint(output_dir: str, state, step: int = 0,
 
 
 def load_checkpoint(output_dir: str,
-                    n_heads: Optional[int] = None) -> Optional[Any]:
+                    n_heads: Optional[int] = None,
+                    fused_proj: Optional[bool] = None) -> Optional[Any]:
     """Restore a checkpoint, migrating pre-v2 ViT RoPE layouts.
 
     ``n_heads``: attention head count of the model the params belong to
     (``model_n_heads(model)``); required only when restoring a legacy
-    (untagged) checkpoint that contains Attention kernels.
+    (untagged) checkpoint that contains Attention kernels, or when a
+    projection-layout conversion is needed.
+    ``fused_proj``: the layout the receiving model expects (its
+    ``fused_proj`` flag).  When given and the stored layout differs, the
+    params and adam moments are rearranged exactly (``nn.param_convert``)
+    so either layout can load the other's checkpoints.  ``None`` skips the
+    check (caller takes the stored layout as-is).
     """
     import orbax.checkpoint as ocp
+
+    from cliffordtpu.nn.param_convert import (
+        detect_proj_layout, fuse_vit_params, unfuse_vit_params)
 
     path = os.path.abspath(os.path.join(output_dir, _CKPT_NAME))
     if not os.path.exists(path):
@@ -143,6 +163,25 @@ def load_checkpoint(output_dir: str,
               f"interleaved to half-split RoPE layout ({path})")
         payload["rope_layout"] = ROPE_LAYOUT
         payload["format_version"] = CKPT_FORMAT_VERSION
+    if fused_proj is not None and isinstance(payload, dict):
+        stored = payload.get("proj_layout")
+        if stored is None:
+            stored = detect_proj_layout(payload.get("params", {}))
+        want = "fused" if fused_proj else "split"
+        if stored != "none" and stored != want:
+            if n_heads is None:
+                raise ValueError(
+                    f"{path} stores ViT projections in the '{stored}' "
+                    f"layout but the model expects '{want}'; pass n_heads="
+                    "model_n_heads(model) so the kernels can be converted."
+                )
+            conv = fuse_vit_params if fused_proj else unfuse_vit_params
+            n = conv(payload.get("params", {}), n_heads)
+            n += conv(payload.get("opt_state", {}), n_heads)
+            print(f"checkpoint: converted {n} attention/SwiGLU modules "
+                  f"(+moments) from '{stored}' to '{want}' projection "
+                  f"layout ({path})")
+            payload["proj_layout"] = want
     return payload
 
 

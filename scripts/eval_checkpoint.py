@@ -36,7 +36,7 @@ import numpy as np
 
 def build_model(arch: str, distribution: str, latent_dim: int,
                 in_channels: int, img_size: int, l2_normalize: bool = False,
-                scan_layers: bool = False):
+                scan_layers: bool = False, fused_proj: bool = False):
     from cliffordtpu.nn import CNNVAE, CliffordARVAE, HybridVAE, MLPVAE
 
     if arch == "mlp":
@@ -55,7 +55,8 @@ def build_model(arch: str, distribution: str, latent_dim: int,
                              in_channels=in_channels,
                              distribution=distribution,
                              l2_normalize=l2_normalize,
-                             scan_layers=scan_layers)
+                             scan_layers=scan_layers,
+                             fused_proj=fused_proj)
     raise ValueError(arch)
 
 
@@ -72,6 +73,10 @@ def main():
     p.add_argument("--scan_layers", action="store_true",
                    help="the checkpoint was trained with layer-stacked "
                         "scan ViT weights (--scan_layers at train time)")
+    p.add_argument("--fused_proj", action="store_true",
+                   help="evaluate with fused wqkv/w13 ViT projections; "
+                        "checkpoints in either layout load (kernels are "
+                        "converted exactly on restore)")
     p.add_argument("--outdir", required=True)
     p.add_argument("--vsa_trials", type=int, default=20)
     p.add_argument("--fid_samples", type=int, default=2048)
@@ -133,9 +138,12 @@ def main():
     img_shape = (args.img_size, args.img_size, in_channels)
     model = build_model(args.arch, args.distribution, args.latent_dim,
                         in_channels, args.img_size, args.l2_normalize,
-                        scan_layers=args.scan_layers)
+                        scan_layers=args.scan_layers,
+                        fused_proj=args.fused_proj)
     from cliffordtpu.train.checkpoint import model_n_heads
-    ckpt = load_checkpoint(args.ckpt, n_heads=model_n_heads(model))
+    ckpt = load_checkpoint(args.ckpt, n_heads=model_n_heads(model),
+                           fused_proj=args.fused_proj if args.arch == "vit"
+                           else None)
     if ckpt is None:
         print(f"error: no checkpoint in {args.ckpt}", file=sys.stderr)
         return 2

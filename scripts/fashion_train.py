@@ -90,6 +90,11 @@ def build_parser():
                         "v5e at flagship sizes but much faster to compile "
                         "(BASELINE.md); checkpoints are NOT interchangeable "
                         "with the unrolled form")
+    p.add_argument("--fused_proj", action="store_true",
+                   help="(vit arch) fuse q/k/v into one wqkv matmul and "
+                        "SwiGLU w1/w3 into one w13 matmul (identical math, "
+                        "fewer MXU kernel launches); checkpoints in either "
+                        "layout interconvert exactly on load")
     p.add_argument("--scan_epochs", action="store_true",
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts; "
