@@ -1,0 +1,245 @@
+"""TPU-native serving/export path: ``jax.export`` -> StableHLO artifacts.
+
+The reference is research scripts only — it has no deployment story (models
+live and die inside the runner process; the closest thing is the torch
+``state_dict`` checkpoint reloaded by ``scripts/paper_bind_bundle_figure.py:40-143``).
+For production serving the idiomatic TPU path is ahead-of-time export:
+every model family's three inference entry points are lowered to
+**StableHLO** with a symbolic batch dimension and serialized, so a PJRT
+serving stack (C++ or a later jax) can execute them without the Python
+model code.
+
+Artifacts (one directory per model):
+
+```
+manifest.json        # shapes/dtypes/layouts, calling convention, versions
+params.npz           # weights, flat "a/b/c" keys (hot-swappable)
+encode_mu.stablehlo  # x[b,H,W,C]f32            -> mu[b,F_mu]
+encode_z.stablehlo   # key[2]u32, x[b,H,W,C]f32 -> z[b,F_z]   (sampled)
+decode.stablehlo     # z[b,F_z]f32              -> y[b,...]   (images/logits)
+```
+
+Weights are passed as an argument pytree (NOT baked into the module), so
+the same artifact serves updated checkpoints and the serialized modules
+stay small.  The batch dimension is exported symbolically where the
+program allows it; functions whose lowering rejects shape polymorphism
+(e.g. some RNG-bearing paths) fall back to a fixed batch recorded in the
+manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SERVING_FORMAT_VERSION = 1
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+_FN_NAMES = ("encode_mu", "encode_z", "decode")
+
+
+# ---- param (de)serialization: nested dict <-> flat npz ----
+
+
+def _flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten_params(tree[k], f"{prefix}{k}/"))
+        return out
+    out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return root
+
+
+# ---- the three serving entry points, model-family agnostic ----
+
+
+def serving_fns(model: Any, img_shape) -> Dict[str, Callable]:
+    """Pure functions ``(params, ...) -> array`` for any model family.
+
+    Uses the same duck-typed surface as ``eval.adapters.ModelHandle``
+    (mirroring the reference's ``utils/wandb_utils.py:16-42`` adapters):
+    MLPVAE exposes ``encode``; CNN/ViT/Hybrid expose ``encode_heads``.
+    """
+    is_mlp = not hasattr(model, "encode_heads")
+
+    def encode_mu(params, x):
+        if is_mlp:
+            mu, _ = model.apply({"params": params},
+                                x.reshape(x.shape[0], -1),
+                                method=model.encode)
+        else:
+            mu, _ = model.apply({"params": params}, x,
+                                method=model.encode_heads)
+        if mu.ndim == 3:
+            mu = mu.reshape(mu.shape[0], -1)
+        return mu
+
+    def encode_z(params, key, x):
+        return model.apply({"params": params}, x, rngs={"sample": key},
+                           method=model.get_flat_latent)
+
+    def decode(params, z):
+        return model.apply({"params": params}, z, method=model.decode)
+
+    return {"encode_mu": encode_mu, "encode_z": encode_z, "decode": decode}
+
+
+# ---- export ----
+
+
+def _spec(shape, dtype) -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct(tuple(shape), dtype)
+
+
+def _sd_json(sd) -> dict:
+    return {"shape": [str(d) for d in sd.shape], "dtype": str(sd.dtype)}
+
+
+def export_serving(model: Any, params: Any, img_shape,
+                   out_dir: Optional[str] = None,
+                   platforms=("cpu", "tpu"),
+                   fallback_batch: int = 8) -> dict:
+    """Export a trained model's serving functions to StableHLO.
+
+    ``img_shape``: (H, W, C) of the input images.  Returns the manifest
+    dict; when ``out_dir`` is given the artifacts are written there.
+    """
+    from jax import export as jexport
+
+    fns = serving_fns(model, img_shape)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    # probe the flat latent / output shapes abstractly (no compute)
+    x1 = _spec((1, *img_shape), jnp.float32)
+    key_sd = _spec((2,), jnp.uint32)
+    z1 = jax.eval_shape(fns["encode_z"], params, key_sd, x1)
+    y1 = jax.eval_shape(fns["decode"], params, z1)
+    mu1 = jax.eval_shape(fns["encode_mu"], params, x1)
+
+    (b,) = jexport.symbolic_shape("b")
+
+    def specs_for(name, batch):
+        x_s = _spec((batch, *img_shape), jnp.float32)
+        z_s = _spec((batch, z1.shape[-1]), z1.dtype)
+        if name == "encode_mu":
+            return (params, x_s)
+        if name == "encode_z":
+            return (params, key_sd, x_s)
+        return (params, z_s)
+
+    exported, batch_mode = {}, {}
+    for name, fn in fns.items():
+        jitted = jax.jit(fn)
+        try:
+            exported[name] = jexport.export(
+                jitted, platforms=list(platforms))(*specs_for(name, b))
+            batch_mode[name] = "symbolic"
+        except Exception:
+            # some lowerings reject shape polymorphism (commonly RNG
+            # paths); pin the batch and record it
+            exported[name] = jexport.export(
+                jitted, platforms=list(platforms))(
+                    *specs_for(name, fallback_batch))
+            batch_mode[name] = fallback_batch
+
+    manifest = {
+        "format_version": SERVING_FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "model_class": type(model).__name__,
+        "distribution": getattr(model, "distribution", "normal"),
+        "latent_dim": int(getattr(model, "latent_dim",
+                                  getattr(model, "z_dim", 0))),
+        "img_shape": [int(d) for d in img_shape],
+        "flat_z_dim": int(z1.shape[-1]),
+        "mu_dim": int(mu1.shape[-1]),
+        "decode_output": ("sigmoid_logits"
+                          if not hasattr(model, "encode_heads")
+                          else "tanh_image"),
+        # calling convention: params pytree is always the FIRST argument;
+        # "in" lists the remaining (array) arguments
+        "functions": {
+            name: {
+                "batch": batch_mode[name],
+                "in": [_sd_json(s) for s in specs_for(name, b)[1:]],
+                "out": _sd_json(jax.eval_shape(
+                    fns[name], *specs_for(name, b))),
+            }
+            for name in _FN_NAMES
+        },
+    }
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        flat = _flatten_params(jax.device_get(params))
+        np.savez(os.path.join(out_dir, _PARAMS), **flat)
+        for name, exp in exported.items():
+            with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
+                f.write(exp.serialize())
+        with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    return {"manifest": manifest, "exported": exported}
+
+
+# ---- load + run ----
+
+
+class LoadedServing:
+    """Deserialized serving bundle: ``encode_mu`` / ``encode_z`` /
+    ``decode`` callables backed by the exported StableHLO (no Python
+    model code involved)."""
+
+    def __init__(self, directory: str):
+        from jax import export as jexport
+
+        with open(os.path.join(directory, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] > SERVING_FORMAT_VERSION:
+            raise ValueError(
+                f"serving bundle format {self.manifest['format_version']} "
+                f"is newer than supported {SERVING_FORMAT_VERSION}")
+        with np.load(os.path.join(directory, _PARAMS)) as z:
+            self.params = _unflatten_params({k: z[k] for k in z.files})
+        self._exp = {}
+        for name in _FN_NAMES:
+            with open(os.path.join(directory, f"{name}.stablehlo"),
+                      "rb") as f:
+                self._exp[name] = jexport.deserialize(bytearray(f.read()))
+
+    def encode_mu(self, x):
+        return self._exp["encode_mu"].call(
+            self.params, jnp.asarray(x, jnp.float32))
+
+    def encode_z(self, key, x):
+        key = jnp.asarray(key)
+        if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)  # typed key -> raw uint32[2]
+        return self._exp["encode_z"].call(
+            self.params, key.astype(jnp.uint32),
+            jnp.asarray(x, jnp.float32))
+
+    def decode(self, z):
+        return self._exp["decode"].call(
+            self.params, jnp.asarray(z, jnp.float32))
+
+
+def load_serving(directory: str) -> LoadedServing:
+    return LoadedServing(directory)
