@@ -115,11 +115,19 @@ def _sd_json(sd) -> dict:
 def export_serving(model: Any, params: Any, img_shape,
                    out_dir: Optional[str] = None,
                    platforms=("cpu", "tpu"),
-                   fallback_batch: int = 8) -> dict:
+                   fallback_batch: int = 8,
+                   data_parallel: Optional[int] = None) -> dict:
     """Export a trained model's serving functions to StableHLO.
 
     ``img_shape``: (H, W, C) of the input images.  Returns the manifest
     dict; when ``out_dir`` is given the artifacts are written there.
+
+    ``data_parallel``: export for an N-chip slice — the batch axis is
+    sharded over a 1-D ("data",) mesh (params replicated) and the
+    artifact records the device count; GSPMD handles placement, there
+    are no hand-written collectives.  Requires >= N devices at export
+    AND serve time.  The symbolic batch becomes ``N*b`` (any multiple
+    of the mesh size).
     """
     from jax import export as jexport
 
@@ -133,7 +141,20 @@ def export_serving(model: Any, params: Any, img_shape,
     y1 = jax.eval_shape(fns["decode"], params, z1)
     mu1 = jax.eval_shape(fns["encode_mu"], params, x1)
 
-    (b,) = jexport.symbolic_shape("b")
+    dp = int(data_parallel or 1)
+    if dp > 1:
+        from cliffordtpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh((dp, 1), devices=jax.devices()[:dp])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("data"))
+        (b,) = jexport.symbolic_shape("b")
+        b = dp * b  # batch = any multiple of the mesh size
+    else:
+        mesh = None
+        (b,) = jexport.symbolic_shape("b")
 
     def specs_for(name, batch):
         x_s = _spec((batch, *img_shape), jnp.float32)
@@ -144,9 +165,22 @@ def export_serving(model: Any, params: Any, img_shape,
             return (params, key_sd, x_s)
         return (params, z_s)
 
+    def jit_for(name, fn):
+        if mesh is None:
+            return jax.jit(fn)
+        # params replicated; the key (rank 1) replicated; batch args
+        # and outputs sharded on axis 0 over "data"
+        if name == "encode_mu":
+            in_sh = (rep, row)
+        elif name == "encode_z":
+            in_sh = (rep, rep, row)
+        else:
+            in_sh = (rep, row)
+        return jax.jit(fn, in_shardings=in_sh, out_shardings=row)
+
     exported, batch_mode = {}, {}
     for name, fn in fns.items():
-        jitted = jax.jit(fn)
+        jitted = jit_for(name, fn)
         try:
             exported[name] = jexport.export(
                 jitted, platforms=list(platforms))(*specs_for(name, b))
@@ -154,15 +188,18 @@ def export_serving(model: Any, params: Any, img_shape,
         except Exception:
             # some lowerings reject shape polymorphism (commonly RNG
             # paths); pin the batch and record it
+            fixed = max(fallback_batch, dp)
+            fixed -= fixed % dp
             exported[name] = jexport.export(
                 jitted, platforms=list(platforms))(
-                    *specs_for(name, fallback_batch))
-            batch_mode[name] = fallback_batch
+                    *specs_for(name, fixed))
+            batch_mode[name] = fixed
 
     manifest = {
         "format_version": SERVING_FORMAT_VERSION,
         "jax_version": jax.__version__,
         "platforms": list(platforms),
+        "data_parallel": dp,
         "model_class": type(model).__name__,
         "distribution": getattr(model, "distribution", "normal"),
         "latent_dim": int(getattr(model, "latent_dim",
@@ -223,22 +260,50 @@ class LoadedServing:
             with open(os.path.join(directory, f"{name}.stablehlo"),
                       "rb") as f:
                 self._exp[name] = jexport.deserialize(bytearray(f.read()))
+        dp = int(self.manifest.get("data_parallel", 1))
+        self._mesh = None
+        if dp > 1:
+            from cliffordtpu.parallel.mesh import create_mesh
+
+            if len(jax.devices()) < dp:
+                raise ValueError(
+                    f"bundle was exported for {dp}-way data parallelism "
+                    f"but only {len(jax.devices())} devices are visible")
+            self._mesh = create_mesh((dp, 1), devices=jax.devices()[:dp])
+
+    def _place(self, arr, batch_axis: bool):
+        arr = jnp.asarray(arr)
+        if self._mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = (P("data", *([None] * (arr.ndim - 1)))
+                if batch_axis else P())
+        return jax.device_put(arr, NamedSharding(self._mesh, spec))
+
+    def _params_placed(self):
+        if self._mesh is None:
+            return self.params
+        return jax.tree_util.tree_map(
+            lambda a: self._place(a, batch_axis=False), self.params)
 
     def encode_mu(self, x):
         return self._exp["encode_mu"].call(
-            self.params, jnp.asarray(x, jnp.float32))
+            self._params_placed(),
+            self._place(jnp.asarray(x, jnp.float32), True))
 
     def encode_z(self, key, x):
         key = jnp.asarray(key)
         if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
             key = jax.random.key_data(key)  # typed key -> raw uint32[2]
         return self._exp["encode_z"].call(
-            self.params, key.astype(jnp.uint32),
-            jnp.asarray(x, jnp.float32))
+            self._params_placed(), self._place(key.astype(jnp.uint32), False),
+            self._place(jnp.asarray(x, jnp.float32), True))
 
     def decode(self, z):
         return self._exp["decode"].call(
-            self.params, jnp.asarray(z, jnp.float32))
+            self._params_placed(),
+            self._place(jnp.asarray(z, jnp.float32), True))
 
 
 def load_serving(directory: str) -> LoadedServing:

@@ -49,6 +49,11 @@ def main():
                         "(either layout's checkpoint loads)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms")
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="export for an N-chip slice: batch sharded over a "
+                        "1-D data mesh, params replicated (requires >= N "
+                        "devices at export and serve time; batch must be "
+                        "a multiple of N)")
     p.add_argument("--outdir", required=True)
     args = p.parse_args()
 
@@ -71,7 +76,8 @@ def main():
     img_shape = (args.img_size, args.img_size, args.in_channels)
     res = export_serving(model, ckpt["params"], img_shape,
                          out_dir=args.outdir,
-                         platforms=tuple(args.platforms.split(",")))
+                         platforms=tuple(args.platforms.split(",")),
+                         data_parallel=args.data_parallel)
     mani = res["manifest"]
     print(json.dumps({
         "outdir": args.outdir,

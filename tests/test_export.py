@@ -129,3 +129,35 @@ def test_export_cli(tmp_path):
     y = srv.decode(np.zeros((2, 12), np.float32))
     assert y.shape == (2, 784)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_data_parallel_export(tmp_path):
+    """A bundle exported with data_parallel=8 serves batch-sharded over
+    the ("data",) mesh with values equal to the single-device path, at
+    any batch multiple of the mesh size (symbolic 8*b)."""
+    model, params, img_shape = _mlp()
+    out = str(tmp_path / "bundle")
+    res = export_serving(model, params, img_shape, out_dir=out,
+                         data_parallel=8)
+    mani = res["manifest"]
+    assert mani["data_parallel"] == 8
+    assert all(v["batch"] == "symbolic" for v in mani["functions"].values())
+    assert mani["functions"]["encode_mu"]["in"][0]["shape"][0] == "8*b"
+
+    srv = load_serving(out)
+    fns = serving_fns(model, img_shape)
+    skey = jax.random.PRNGKey(3)
+    raw = jnp.asarray(jax.random.key_data(skey), jnp.uint32)
+    for B in (8, 24):
+        xb = jax.random.uniform(jax.random.PRNGKey(B), (B, *img_shape))
+        mu = srv.encode_mu(xb)
+        np.testing.assert_allclose(np.asarray(fns["encode_mu"](params, xb)),
+                                   np.asarray(mu), atol=1e-6)
+        assert "data" in str(mu.sharding)  # actually sharded on the mesh
+        z = srv.encode_z(skey, xb)
+        np.testing.assert_allclose(
+            np.asarray(fns["encode_z"](params, raw, xb)),
+            np.asarray(z), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fns["decode"](params, z)),
+            np.asarray(srv.decode(z)), atol=1e-6)
