@@ -185,15 +185,24 @@ def export_serving(model: Any, params: Any, img_shape,
             exported[name] = jexport.export(
                 jitted, platforms=list(platforms))(*specs_for(name, b))
             batch_mode[name] = "symbolic"
-        except Exception:
+        except Exception as e:
             # some lowerings reject shape polymorphism (commonly RNG
-            # paths); pin the batch and record it
+            # paths); pin the batch and record it — loudly, so a genuine
+            # export bug is not mistaken for a polymorphism rejection
             fixed = max(fallback_batch, dp)
             fixed -= fixed % dp
+            import sys
+
+            print(f"serving export: symbolic batch rejected for {name!r} "
+                  f"({type(e).__name__}: {e}); falling back to fixed "
+                  f"batch {fixed}", file=sys.stderr)
             exported[name] = jexport.export(
                 jitted, platforms=list(platforms))(
                     *specs_for(name, fixed))
             batch_mode[name] = fixed
+
+    def batch_dim(name):
+        return b if batch_mode[name] == "symbolic" else batch_mode[name]
 
     manifest = {
         "format_version": SERVING_FORMAT_VERSION,
@@ -211,13 +220,15 @@ def export_serving(model: Any, params: Any, img_shape,
                           if not hasattr(model, "encode_heads")
                           else "tanh_image"),
         # calling convention: params pytree is always the FIRST argument;
-        # "in" lists the remaining (array) arguments
+        # "in" lists the remaining (array) arguments.  Shapes reflect the
+        # actually-exported batch (symbolic "b"/"N*b" or the pinned int)
         "functions": {
             name: {
                 "batch": batch_mode[name],
-                "in": [_sd_json(s) for s in specs_for(name, b)[1:]],
+                "in": [_sd_json(s)
+                       for s in specs_for(name, batch_dim(name))[1:]],
                 "out": _sd_json(jax.eval_shape(
-                    fns[name], *specs_for(name, b))),
+                    fns[name], *specs_for(name, batch_dim(name)))),
             }
             for name in _FN_NAMES
         },
@@ -254,7 +265,8 @@ class LoadedServing:
                 f"serving bundle format {self.manifest['format_version']} "
                 f"is newer than supported {SERVING_FORMAT_VERSION}")
         with np.load(os.path.join(directory, _PARAMS)) as z:
-            self.params = _unflatten_params({k: z[k] for k in z.files})
+            self._params = _unflatten_params({k: z[k] for k in z.files})
+        self._placed_params = None  # device-put cache (hot path)
         self._exp = {}
         for name in _FN_NAMES:
             with open(os.path.join(directory, f"{name}.stablehlo"),
@@ -271,6 +283,16 @@ class LoadedServing:
                     f"but only {len(jax.devices())} devices are visible")
             self._mesh = create_mesh((dp, 1), devices=jax.devices()[:dp])
 
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, new_params):
+        """Hot-swap the weights (invalidates the placed-on-device cache)."""
+        self._params = new_params
+        self._placed_params = None
+
     def _place(self, arr, batch_axis: bool):
         arr = jnp.asarray(arr)
         if self._mesh is None:
@@ -282,10 +304,11 @@ class LoadedServing:
         return jax.device_put(arr, NamedSharding(self._mesh, spec))
 
     def _params_placed(self):
-        if self._mesh is None:
-            return self.params
-        return jax.tree_util.tree_map(
-            lambda a: self._place(a, batch_axis=False), self.params)
+        # transfer the weights host->device ONCE, not per request
+        if self._placed_params is None:
+            self._placed_params = jax.tree_util.tree_map(
+                lambda a: self._place(a, batch_axis=False), self._params)
+        return self._placed_params
 
     def encode_mu(self, x):
         return self._exp["encode_mu"].call(

@@ -23,12 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# this tool always evaluates on CPU (isolation is the point)
-jax.config.update("jax_platforms", "cpu")
+# this tool always evaluates on CPU (isolation is the point) — but only
+# when run as a script: importing build_model from another CLI (e.g.
+# scripts/export_model.py) must not re-pin the importer's platform
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
 
-from cliffordtpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+    from cliffordtpu.utils.compile_cache import enable_persistent_cache
 
-enable_persistent_cache()
+    enable_persistent_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,6 +109,8 @@ def main():
                    help="trials for the per-class bundle test (default: 1 "
                         "for sampled, 2 for means)")
     args = p.parse_args()
+    if args.fused_proj and args.arch != "vit":
+        p.error("--fused_proj only applies to --arch vit")
 
     from cliffordtpu.data import load_dataset
     from cliffordtpu.eval import ModelHandle

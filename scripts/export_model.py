@@ -56,6 +56,8 @@ def main():
                         "a multiple of N)")
     p.add_argument("--outdir", required=True)
     args = p.parse_args()
+    if args.fused_proj and args.arch != "vit":
+        p.error("--fused_proj only applies to --arch vit")
 
     from eval_checkpoint import build_model
 
