@@ -234,3 +234,27 @@ def test_scan_layers_composes_with_fused_proj():
     out = model.apply({"params": params}, x, rngs={"sample": KEY})
     assert np.isfinite(np.asarray(out[0])).all()
     assert detect_proj_layout(params) == "fused"
+
+
+def test_scan_stacked_tree_conversion():
+    """fuse/unfuse also rearranges layer-stacked ``scan_layers`` trees
+    (kernels carry a leading layer axis): converting a split scan tree
+    gives the same forward as the fused scan model with those weights."""
+    split_model = _model(fused=False, scan=True)
+    fused_model = _model(fused=True, scan=True)
+    params, x = _init(split_model)
+    conv = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), params)
+    n = fuse_vit_params(conv, N_HEADS)
+    assert n == 4  # stacked attn + stacked swiglu, per (enc, dec) scan
+    assert detect_proj_layout(conv) == "fused"
+    # stacked kernels keep their leading layer axis
+    flat = dict((jax.tree_util.keystr(p), l) for p, l in
+                jax.tree_util.tree_leaves_with_path(conv))
+    wqkv = [v for k, v in flat.items() if "wqkv" in k]
+    assert wqkv and all(w.ndim == 3 for w in wqkv)
+
+    skey = jax.random.PRNGKey(13)
+    out_s = split_model.apply({"params": params}, x, rngs={"sample": skey})
+    out_f = fused_model.apply({"params": conv}, x, rngs={"sample": skey})
+    np.testing.assert_allclose(np.asarray(out_s[0]), np.asarray(out_f[0]),
+                               rtol=0, atol=1e-5)
