@@ -67,6 +67,58 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return root
 
 
+# ---- optional storage quantization of params.npz ----
+#
+# Purely a STORAGE format: the exported graphs keep their float32 param
+# inputs; quantized weights are dequantized at load time.  "bfloat16"
+# halves the artifact (stored as the raw uint16 view — npz has no bf16),
+# "int8" quarters it with one scale per output column (last axis),
+# weight-only symmetric quantization.
+
+_QUANT_MODES = ("float32", "bfloat16", "int8")
+
+
+def _quantize_flat(flat: Dict[str, np.ndarray], mode: str):
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if mode == "float32" or not np.issubdtype(v.dtype, np.floating):
+            out[k] = v
+        elif mode == "bfloat16":
+            import jax.numpy as _jnp
+
+            bf = np.asarray(_jnp.asarray(v, _jnp.bfloat16))
+            out[k + "::bf16"] = bf.view(np.uint16)
+        elif v.ndim < 2:
+            out[k] = v  # biases/scalars: negligible size, keep exact
+        else:  # int8, symmetric, one scale per output column (last axis)
+            scale = (np.max(np.abs(v), axis=tuple(range(v.ndim - 1)),
+                            keepdims=True) / 127.0)
+            scale = np.where(scale == 0.0, 1.0, scale).astype(np.float32)
+            q = np.clip(np.round(v / scale), -127, 127).astype(np.int8)
+            out[k + "::int8"] = q
+            out[k + "::scale"] = scale
+    return out
+
+
+def _dequantize_flat(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if k.endswith("::scale"):
+            continue
+        if k.endswith("::bf16"):
+            import jax.numpy as _jnp
+
+            out[k[:-6]] = np.asarray(
+                _jnp.asarray(v.view(_jnp.bfloat16), _jnp.float32))
+        elif k.endswith("::int8"):
+            scale = flat[k[:-6] + "::scale"]
+            out[k[:-6]] = (v.astype(np.float32) * scale).astype(np.float32)
+        else:
+            out[k] = v
+    return out
+
+
 # ---- the three serving entry points, model-family agnostic ----
 
 
@@ -116,7 +168,8 @@ def export_serving(model: Any, params: Any, img_shape,
                    out_dir: Optional[str] = None,
                    platforms=("cpu", "tpu"),
                    fallback_batch: int = 8,
-                   data_parallel: Optional[int] = None) -> dict:
+                   data_parallel: Optional[int] = None,
+                   params_dtype: str = "float32") -> dict:
     """Export a trained model's serving functions to StableHLO.
 
     ``img_shape``: (H, W, C) of the input images.  Returns the manifest
@@ -128,7 +181,14 @@ def export_serving(model: Any, params: Any, img_shape,
     are no hand-written collectives.  Requires >= N devices at export
     AND serve time.  The symbolic batch becomes ``N*b`` (any multiple
     of the mesh size).
+
+    ``params_dtype``: storage format of ``params.npz`` — "float32"
+    (exact), "bfloat16" (half size) or "int8" (quarter size, weight-only
+    symmetric per-output-column).  The exported graphs are unchanged
+    (float32 inputs); quantized weights dequantize at load time.
     """
+    if params_dtype not in _QUANT_MODES:
+        raise ValueError(f"params_dtype must be one of {_QUANT_MODES}")
     from jax import export as jexport
 
     fns = serving_fns(model, img_shape)
@@ -234,9 +294,12 @@ def export_serving(model: Any, params: Any, img_shape,
         },
     }
 
+    manifest["params_dtype"] = params_dtype
+
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
-        flat = _flatten_params(jax.device_get(params))
+        flat = _quantize_flat(_flatten_params(jax.device_get(params)),
+                              params_dtype)
         np.savez(os.path.join(out_dir, _PARAMS), **flat)
         for name, exp in exported.items():
             with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
@@ -265,7 +328,8 @@ class LoadedServing:
                 f"serving bundle format {self.manifest['format_version']} "
                 f"is newer than supported {SERVING_FORMAT_VERSION}")
         with np.load(os.path.join(directory, _PARAMS)) as z:
-            self._params = _unflatten_params({k: z[k] for k in z.files})
+            self._params = _unflatten_params(
+                _dequantize_flat({k: z[k] for k in z.files}))
         self._placed_params = None  # device-put cache (hot path)
         self._exp = {}
         for name in _FN_NAMES:

@@ -54,6 +54,11 @@ def main():
                         "1-D data mesh, params replicated (requires >= N "
                         "devices at export and serve time; batch must be "
                         "a multiple of N)")
+    p.add_argument("--params_dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="storage format of params.npz (bfloat16 halves, "
+                        "int8 quarters the artifact; weight-only, graphs "
+                        "unchanged, dequantized at load)")
     p.add_argument("--outdir", required=True)
     args = p.parse_args()
     if args.fused_proj and args.arch != "vit":
@@ -79,7 +84,8 @@ def main():
     res = export_serving(model, ckpt["params"], img_shape,
                          out_dir=args.outdir,
                          platforms=tuple(args.platforms.split(",")),
-                         data_parallel=args.data_parallel)
+                         data_parallel=args.data_parallel,
+                         params_dtype=args.params_dtype)
     mani = res["manifest"]
     print(json.dumps({
         "outdir": args.outdir,

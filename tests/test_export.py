@@ -161,3 +161,28 @@ def test_data_parallel_export(tmp_path):
         np.testing.assert_allclose(
             np.asarray(fns["decode"](params, z)),
             np.asarray(srv.decode(z)), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode,max_err,shrink", [
+    ("bfloat16", 5e-3, 1.6), ("int8", 5e-2, 2.5)])
+def test_quantized_params_storage(tmp_path, mode, max_err, shrink):
+    """params_dtype quantizes ONLY the stored weights: the artifact
+    shrinks, the graphs are unchanged, and serve outputs stay close to
+    the float32 bundle."""
+    model, params, img_shape = _mlp()
+    out32 = str(tmp_path / "f32")
+    outq = str(tmp_path / mode)
+    export_serving(model, params, img_shape, out_dir=out32)
+    res = export_serving(model, params, img_shape, out_dir=outq,
+                         params_dtype=mode)
+    assert res["manifest"]["params_dtype"] == mode
+    s32 = os.path.getsize(os.path.join(out32, "params.npz"))
+    sq = os.path.getsize(os.path.join(outq, "params.npz"))
+    assert s32 / sq > shrink
+
+    srv32, srvq = load_serving(out32), load_serving(outq)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (3, *img_shape))
+    mu32 = np.asarray(srv32.encode_mu(x))
+    muq = np.asarray(srvq.encode_mu(x))
+    err = np.max(np.abs(mu32 - muq)) / (np.max(np.abs(mu32)) + 1e-9)
+    assert err < max_err, err
