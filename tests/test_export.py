@@ -41,7 +41,28 @@ def _vit():
     return m, params, (32, 32, 1)
 
 
-@pytest.mark.parametrize("factory", [_mlp, _vit], ids=["mlp", "vit_fused"])
+def _cnn():
+    from cliffordtpu.nn import CNNVAE
+
+    m = CNNVAE(latent_dim=8, in_channels=1, distribution="clifford",
+               img_size=32)
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    params = m.init({"params": KEY, "sample": KEY}, x)["params"]
+    return m, params, (32, 32, 1)
+
+
+def _hybrid():
+    from cliffordtpu.nn import HybridVAE
+
+    m = HybridVAE(latent_dim=4, in_channels=1, distribution="clifford",
+                  img_size=32, encoder_chs=[8, 16], decoder_chs=[16, 8])
+    x = jax.random.uniform(KEY, (2, 32, 32, 1)) * 2 - 1
+    params = m.init({"params": KEY, "sample": KEY}, x)["params"]
+    return m, params, (32, 32, 1)
+
+
+@pytest.mark.parametrize("factory", [_mlp, _vit, _cnn, _hybrid],
+                         ids=["mlp", "vit_fused", "cnn", "hybrid"])
 def test_export_roundtrip_matches_direct(tmp_path, factory):
     model, params, img_shape = factory()
     out = str(tmp_path / "bundle")
