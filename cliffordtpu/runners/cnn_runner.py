@@ -224,7 +224,8 @@ def train_model(args, model, x_train, x_test, run_key, logger=None):
     state = create_train_state(
         run_key, model, jnp.asarray(x_train[:2]), optimizer="adamw",
         lr=args.cur_lr, clip_norm=1.0,
-        sigma_lr_scale=0.1 if args.use_learnable_beta else None)
+        sigma_lr_scale=0.1 if args.use_learnable_beta else None,
+        accum_steps=int(getattr(args, "grad_accum", 1) or 1))
     use_scan = bool(getattr(args, "scan_epochs", False))
     if mesh is not None:
         state = shard_state(mesh, state,

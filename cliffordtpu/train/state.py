@@ -127,7 +127,15 @@ def create_train_state(
     lr: float = 1e-3,
     clip_norm: float = 1.0,
     sigma_lr_scale: float | None = None,
+    accum_steps: int = 1,
 ) -> TrainState:
+    """``accum_steps > 1`` wraps the optimizer in ``optax.MultiSteps``:
+    gradients are AVERAGED over that many microbatch steps and the inner
+    update (incl. the global-norm clip, so clip-on-mean == big-batch
+    semantics) fires once per cycle — effective batch = accum_steps x
+    microbatch.  The reference has no equivalent (single-device, batch
+    always fits); this exists for large-model / large-batch production
+    training where the per-step batch is memory-capped."""
     init_key, sample_key = jax.random.split(key)
     # model.init MUST run under jit: eagerly it dispatches thousands of tiny
     # ops one by one, and on the axon TPU tunnel each is an RPC — measured
@@ -139,4 +147,6 @@ def create_train_state(
     )
     params = variables["params"]
     tx = make_optimizer(optimizer, lr, clip_norm, sigma_lr_scale, params)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum_steps))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

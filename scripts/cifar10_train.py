@@ -79,6 +79,10 @@ def build_parser():
                         "v5e at flagship sizes but much faster to compile "
                         "(BASELINE.md); checkpoints are NOT interchangeable "
                         "with the unrolled form")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate (average) gradients over N microbatch "
+                        "steps before each optimizer update (effective "
+                        "batch = N x batch_size; optax.MultiSteps)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts)")

@@ -95,6 +95,10 @@ def build_parser():
                         "SwiGLU w1/w3 into one w13 matmul (identical math, "
                         "fewer MXU kernel launches); checkpoints in either "
                         "layout interconvert exactly on load")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate (average) gradients over N microbatch "
+                        "steps before each optimizer update (effective "
+                        "batch = N x batch_size; optax.MultiSteps)")
     p.add_argument("--scan_epochs", action="store_true",
                    help="compile each training epoch as ONE lax.scan "
                         "program (device-bound throughput on slow hosts; "

@@ -366,3 +366,59 @@ def test_fused_optimizer_trains_model():
         first = v if first is None else first
         last = v
     assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_grad_accum_matches_mean_grad_update():
+    """accum_steps=N (optax.MultiSteps): params hold still for N-1
+    microbatch steps, then one update equal to applying the MEAN of the N
+    microbatch gradients through the same Adam+clip chain (big-batch
+    semantics)."""
+    import optax
+
+    from cliffordtpu.nn.losses import vae_loss_from_outputs
+    from cliffordtpu.nn.mlp_vae import MLPVAE
+    from cliffordtpu.train.loop import make_mlp_train_step
+
+    model = MLPVAE(h_dim=16, z_dim=4, distribution="normal")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (16, 784))
+    micro = [x[i * 4:(i + 1) * 4] for i in range(4)]
+    keys = [jax.random.fold_in(key, i) for i in range(4)]
+
+    state_a = create_train_state(key, model, x[:2], optimizer="adam",
+                                 lr=1e-3, accum_steps=4)
+    state_b = create_train_state(key, model, x[:2], optimizer="adam",
+                                 lr=1e-3)
+    p0 = jax.tree_util.tree_map(np.asarray, state_a.params)
+
+    step = make_mlp_train_step(model, binarize=False)
+    for i in range(4):
+        state_a, _ = step(state_a, micro[i], keys[i], 1.0)
+        if i < 3:  # updates held until the cycle completes
+            jax.tree_util.tree_map(
+                np.testing.assert_array_equal,
+                jax.tree_util.tree_map(np.asarray, state_a.params), p0)
+
+    # manual mean-gradient through the same (clip + adam) chain; the
+    # train step splits the key and binarize=False discards k_bin
+    def grad_for(params, xb, k):
+        _, k_sample = jax.random.split(k)
+
+        def loss_fn(p):
+            outputs = model.apply({"params": p}, xb,
+                                  rngs={"sample": k_sample})
+            return vae_loss_from_outputs(xb, outputs, 1.0)["total"]
+
+        return jax.grad(loss_fn)(params)
+
+    grads = [grad_for(state_b.params, micro[i], keys[i]) for i in range(4)]
+    g_mean = jax.tree_util.tree_map(
+        lambda *g: sum(g) / 4.0, *grads)
+    state_b = state_b.apply_gradients(grads=g_mean)
+
+    # MultiSteps accumulates a running mean (incremental) vs the sum/4
+    # here — reassociated fp32, hence the 1e-5 tolerance
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
+        state_a.params, state_b.params)
