@@ -11,7 +11,9 @@ HRR/VSA evaluation suite, and experiment runners — designed TPU-first:
 - training steps are pure functions compiled with ``jax.jit`` over a
   ``jax.sharding.Mesh`` (data / model axes) so the same code runs 1-chip or
   multi-chip over ICI,
-- hot paths have optional fused Pallas kernels (see ``cliffordtpu.kernels``).
+- hot paths have optional fused Pallas kernels (see ``cliffordtpu.kernels``),
+- trained models export to self-contained StableHLO serving bundles with a
+  symbolic batch dimension (see ``cliffordtpu.serving``).
 """
 
 __version__ = "0.1.0"
