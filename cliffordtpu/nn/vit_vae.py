@@ -19,6 +19,7 @@ scaled by sqrt(latent_dim) (``:491``).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -146,6 +147,25 @@ class SwiGLU(nn.Module):
                         dtype=self.dtype)(nn.silu(w1) * w3)
 
 
+def _use_fused_attention(q_shape) -> bool:
+    """Opt-in fused RoPE+attention kernel (``CLIFFORDTPU_ATTENTION=pallas``).
+
+    Off-TPU the request silently falls back to the XLA path (the kernel is
+    Mosaic-only), as do shapes outside the kernel's VMEM envelope.  Kept
+    opt-in until the on-chip A/B decides a default — the same protocol as
+    ``fused_proj`` and the torus kernel (BASELINE.md).  Under tensor
+    parallelism keep the XLA path: the kernel grid is over the batch only
+    and has no head-sharding story.
+    """
+    if os.environ.get("CLIFFORDTPU_ATTENTION") != "pallas":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from cliffordtpu.kernels.attention_pallas import attention_supported
+
+    return attention_supported(q_shape)
+
+
 class Attention(nn.Module):
     """Non-causal MHA with 2-D RoPE (``cliffordar_model.py:82-102``).
 
@@ -183,12 +203,19 @@ class Attention(nn.Module):
             q = q.reshape(B, S, self.n_heads, hd)
             k = k.reshape(B, S, self.n_heads, hd)
             v = v.reshape(B, S, self.n_heads, hd)
-        if cos is not None:
-            # half-split rotation in the permuted head basis (see
-            # apply_rotary_half); q.k is invariant to the permutation
-            q = apply_rotary_half(q, cos, sin)
-            k = apply_rotary_half(k, cos, sin)
-        out = jax.nn.dot_product_attention(q, k, v)
+        if _use_fused_attention(q.shape):
+            # one launch per direction: RoPE + qk^T + softmax + pv fused,
+            # scores never leave VMEM (kernels/attention_pallas.py)
+            from cliffordtpu.kernels.attention_pallas import fused_attention
+
+            out = fused_attention(q, k, v, cos, sin)
+        else:
+            if cos is not None:
+                # half-split rotation in the permuted head basis (see
+                # apply_rotary_half); q.k is invariant to the permutation
+                q = apply_rotary_half(q, cos, sin)
+                k = apply_rotary_half(k, cos, sin)
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, S, D)
         if self.fused_proj:
             return nn.Dense(D, use_bias=False, kernel_init=_XAVIER,

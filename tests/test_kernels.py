@@ -204,3 +204,85 @@ def test_sampler_env_optin_dispatch(monkeypatch):
     monkeypatch.setenv("CLIFFORDTPU_SAMPLER", "pallas_rng")
     got = dist.sample(jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+# ---- fused RoPE+attention kernel (kernels/attention_pallas.py) ----
+
+
+def _attn_reference(q, k, v, cos, sin):
+    from cliffordtpu.nn.vit_vae import apply_rotary_half
+
+    if cos is not None:
+        q = apply_rotary_half(q, jnp.asarray(cos), jnp.asarray(sin))
+        k = apply_rotary_half(k, jnp.asarray(cos), jnp.asarray(sin))
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+def _attn_inputs(B, S, H, hd, with_rope=True, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (B, S, H, hd), dtype)
+    k = jax.random.normal(ks[1], (B, S, H, hd), dtype)
+    v = jax.random.normal(ks[2], (B, S, H, hd), dtype)
+    if not with_rope:
+        return q, k, v, None, None
+    ang = jax.random.uniform(ks[3], (S, hd // 2), jnp.float32) * 2 * np.pi
+    return q, k, v, np.cos(np.asarray(ang)), np.sin(np.asarray(ang))
+
+
+@pytest.mark.parametrize("B,S,H,hd,rope", [
+    (2, 13, 3, 16, True),    # ragged seq (pads 13 -> 16)
+    (1, 68, 4, 64, True),    # flagship32 decoder shape
+    (3, 8, 2, 8, False),     # no-RoPE path, exact sublane seq
+])
+def test_fused_attention_matches_xla_interpret(B, S, H, hd, rope):
+    from cliffordtpu.kernels import attention_pallas as ap
+
+    q, k, v, cos, sin = _attn_inputs(B, S, H, hd, rope)
+    want = np.asarray(_attn_reference(q, k, v, cos, sin))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ap.fused_attention(q, k, v, cos, sin))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_fused_attention_gradient_interpret():
+    from cliffordtpu.kernels import attention_pallas as ap
+
+    q, k, v, cos, sin = _attn_inputs(2, 11, 2, 16)
+    w = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attn_reference(q, k, v, cos, sin) * w)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(ap.fused_attention(q, k, v, cos, sin) * w)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=3e-5, rtol=3e-5)
+
+
+def test_attention_env_optin_noop_on_cpu(monkeypatch):
+    """CLIFFORDTPU_ATTENTION=pallas on a non-TPU backend must leave the
+    Attention module on the XLA path with identical outputs."""
+    from cliffordtpu.nn.vit_vae import Attention, rope_2d_cos_sin
+
+    cos, sin = rope_2d_cos_sin(32, 4, 16, cls_token_num=2)
+    x = jax.random.normal(KEY, (2, 18, 32))
+    mod = Attention(d_model=32, n_heads=2)
+    params = mod.init(jax.random.PRNGKey(1), x, cos, sin)
+    want = mod.apply(params, x, cos, sin)
+    monkeypatch.setenv("CLIFFORDTPU_ATTENTION", "pallas")
+    got = mod.apply(params, x, cos, sin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_attention_supported_gate():
+    from cliffordtpu.kernels.attention_pallas import attention_supported
+
+    assert attention_supported((64, 68, 4, 64))         # flagship32
+    assert not attention_supported((1, 68, 4, 63))      # odd head_dim
+    assert not attention_supported((1, 65536, 64, 64))  # VMEM blowout
