@@ -314,6 +314,13 @@ def main():
                          "hardware PRNG — same formula/epsilons, different "
                          "stream; targets the d>=2048 reparam floor, see "
                          "kernels/sampler_pallas.py)")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla",
+                    help="ViT attention path: xla (apply_rotary_half + "
+                         "jax.nn.dot_product_attention, the default) or "
+                         "pallas (fused RoPE+qk^T+softmax+pv, one launch "
+                         "per direction — targets the dot_general-launch-"
+                         "bound flagship decoder, see "
+                         "kernels/attention_pallas.py)")
     ap.add_argument("--xla_opts", type=str, default=None,
                     help="comma-separated k=v TPU compiler options passed "
                          "per-compile (XLA_FLAGS can't carry TPU flags "
@@ -327,6 +334,9 @@ def main():
     if args.sampler != "keyed":
         os.environ["CLIFFORDTPU_SAMPLER"] = args.sampler
         log(f"sampler: {args.sampler}")
+    if args.attention != "xla":
+        os.environ["CLIFFORDTPU_ATTENTION"] = args.attention
+        log(f"attention: {args.attention}")
     if args.rng != "threefry":
         import jax
 
