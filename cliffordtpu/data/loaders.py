@@ -42,6 +42,12 @@ _IDX_NAMES = {
 
 
 def _read_idx(path: str) -> np.ndarray:
+    from cliffordtpu.data import native
+
+    if native.available():
+        arr = native.read_idx(path)  # ValueError on corrupt, like below
+        if arr is not None:
+            return arr
     opener = gzip.open if path.endswith(".gz") else open
     try:
         with opener(path, "rb") as f:
@@ -269,7 +275,24 @@ def iterate_batches(
     key=None,
     drop_remainder: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Shuffled (when keyed) minibatch iterator over host arrays."""
+    """Shuffled (when keyed) minibatch iterator over host arrays.
+
+    When the native data engine is available (C++ prefetching batch
+    assembler, ``cliffordtpu/native/dataio.cc``) the gather runs on a
+    worker thread one-plus batches ahead; the stream is bit-identical
+    (same keyed permutation) so the routing is an implementation
+    detail.  ``CLIFFORDTPU_DATA_ENGINE=python`` forces the numpy path.
+    """
+    if (isinstance(x, np.ndarray) and x.dtype == np.float32
+            and isinstance(y, np.ndarray) and y.dtype == np.int64):
+        from cliffordtpu.data import native
+
+        if native.available():
+            with native.NativeBatchIterator(
+                    x, y, batch_size, key=key,
+                    drop_remainder=drop_remainder) as it:
+                yield from it
+            return
     n = x.shape[0]
     idx = np.arange(n)
     if key is not None:
