@@ -278,16 +278,19 @@ def iterate_batches(
     """Shuffled (when keyed) minibatch iterator over host arrays.
 
     When the native data engine is available (C++ prefetching batch
-    assembler, ``cliffordtpu/native/dataio.cc``) the gather runs on a
-    worker thread one-plus batches ahead; the stream is bit-identical
-    (same keyed permutation) so the routing is an implementation
-    detail.  ``CLIFFORDTPU_DATA_ENGINE=python`` forces the numpy path.
+    assembler, ``cliffordtpu/native/dataio.cc``) and the host has a
+    spare core for the worker thread, the gather runs one-plus batches
+    ahead; the stream is bit-identical (same keyed permutation) so the
+    routing is an implementation detail.
+    ``CLIFFORDTPU_DATA_ENGINE=python`` forces the numpy path,
+    ``=native`` forces the batcher even on 1-core hosts
+    (``native.prefetch_enabled`` has the measured rationale).
     """
     if (isinstance(x, np.ndarray) and x.dtype == np.float32
             and isinstance(y, np.ndarray) and y.dtype == np.int64):
         from cliffordtpu.data import native
 
-        if native.available():
+        if native.prefetch_enabled():
             with native.NativeBatchIterator(
                     x, y, batch_size, key=key,
                     drop_remainder=drop_remainder) as it:

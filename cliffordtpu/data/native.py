@@ -76,6 +76,26 @@ def available() -> bool:
     return _load() is not None
 
 
+def prefetch_enabled() -> bool:
+    """Whether `iterate_batches` should route through the C++ batcher.
+
+    The worker-thread assembler only pays off when there is a spare core
+    to run it on — measured on a 1-core host it LOSES to the plain numpy
+    gather (269 vs 181 ms/epoch on 60k x 784, BASELINE.md) because the
+    producer thread contends with the consumer and the staging ring adds
+    copies.  So: on by default only with >= 2 CPUs;
+    ``CLIFFORDTPU_DATA_ENGINE=native`` forces it on anywhere, ``python``
+    forces everything off.  Native idx *parsing* is independent of this
+    (it wins ~3x everywhere).
+    """
+    if not available():
+        return False
+    mode = os.environ.get("CLIFFORDTPU_DATA_ENGINE", "").lower()
+    if mode == "native":
+        return True
+    return (os.cpu_count() or 1) >= 2
+
+
 def read_idx(path: str) -> Optional[np.ndarray]:
     """Native idx parse (plain or .gz). None when the engine is absent;
     raises ValueError on corrupt files, matching loaders._read_idx."""

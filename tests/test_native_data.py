@@ -105,6 +105,9 @@ def test_iterate_batches_routes_native_and_python_agree(monkeypatch):
     x = rng.normal(size=(50, 4, 4, 1)).astype(np.float32)
     y = rng.integers(0, 10, 50).astype(np.int64)
     key = jax.random.PRNGKey(7)
+    # force the batcher: on 1-core hosts prefetch defaults off
+    monkeypatch.setenv("CLIFFORDTPU_DATA_ENGINE", "native")
+    assert native.prefetch_enabled()
     native_stream = list(iterate_batches(x, y, 8, key=key))
     monkeypatch.setenv("CLIFFORDTPU_DATA_ENGINE", "python")
     monkeypatch.setattr(native, "_lib", None)
@@ -115,6 +118,23 @@ def test_iterate_batches_routes_native_and_python_agree(monkeypatch):
     for (gx, gy), (wx, wy) in zip(native_stream, python_stream):
         np.testing.assert_array_equal(gx, wx)
         np.testing.assert_array_equal(gy, wy)
+
+
+def test_prefetch_policy(monkeypatch):
+    """Batcher routing: forced by =native, killed by =python, and by
+    default tied to having a spare core for the worker thread."""
+    monkeypatch.setenv("CLIFFORDTPU_DATA_ENGINE", "native")
+    assert native.prefetch_enabled()
+    monkeypatch.setenv("CLIFFORDTPU_DATA_ENGINE", "python")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_tried", False)
+    assert not native.prefetch_enabled()
+    monkeypatch.setattr(native, "_lib_tried", False)
+    monkeypatch.delenv("CLIFFORDTPU_DATA_ENGINE")
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    assert not native.prefetch_enabled()
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    assert native.prefetch_enabled()
 
 
 def test_iterator_close_is_idempotent_and_early():
