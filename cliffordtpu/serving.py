@@ -169,7 +169,10 @@ def export_serving(model: Any, params: Any, img_shape,
                    platforms=("cpu", "tpu"),
                    fallback_batch: int = 8,
                    data_parallel: Optional[int] = None,
-                   params_dtype: str = "float32") -> dict:
+                   params_dtype: str = "float32",
+                   native: bool = False,
+                   native_platforms=("cpu", "tpu"),
+                   native_batch: int = 8) -> dict:
     """Export a trained model's serving functions to StableHLO.
 
     ``img_shape``: (H, W, C) of the input images.  Returns the manifest
@@ -186,6 +189,19 @@ def export_serving(model: Any, params: Any, img_shape,
     (exact), "bfloat16" (half size) or "int8" (quarter size, weight-only
     symmetric per-output-column).  The exported graphs are unchanged
     (float32 inputs); quantized weights dequantize at load time.
+
+    ``native=True`` additionally writes artifacts for the C++ PJRT
+    serving host (``cliffordtpu/native/pjrt_serve.cc``): per function
+    and platform a SINGLE-platform, FIXED-batch plain-StableHLO module
+    (``<fn>.native.<platform>.stablehlo`` — static shapes and no
+    platform-index argument, so any PJRT plugin compiles it directly,
+    unlike the symbolic-batch multi-platform modules above, which need
+    ``jax.export``'s refinement machinery), a serialized
+    ``compile_options.pb``, and a ``native`` manifest section recording
+    the flat calling convention: param leaves (in ``param_order``,
+    matching the ``params.npz`` keys) followed by the array arguments.
+    Native export is single-device (incompatible with
+    ``data_parallel``).
     """
     if params_dtype not in _QUANT_MODES:
         raise ValueError(f"params_dtype must be one of {_QUANT_MODES}")
@@ -296,6 +312,68 @@ def export_serving(model: Any, params: Any, img_shape,
 
     manifest["params_dtype"] = params_dtype
 
+    native_files: Dict[str, bytes] = {}
+    if native:
+        if dp > 1:
+            raise ValueError("native export is single-device; it is "
+                             "incompatible with data_parallel > 1")
+        from jax._src.lib import xla_client as _xc
+
+        nb = int(native_batch)
+        # flat param-leaf names in jax tree_flatten order == the sorted
+        # per-level traversal used for the params.npz keys
+        paths = jax.tree_util.tree_flatten_with_path(params)[0]
+        param_order = ["/".join(str(k.key) for k in p) for p, _ in paths]
+        nfns = {}
+        for name, fn in fns.items():
+            modules, kept = {}, None
+            for plat in native_platforms:
+                exp_n = jexport.export(jax.jit(fn), platforms=[plat])(
+                    *specs_for(name, nb))
+                # portable (vhlo) artifact -> plain StableHLO text, which
+                # every PJRT plugin's "mlir" program format accepts
+                txt = _xc._xla.mlir.deserialize_portable_artifact(
+                    exp_n.mlir_module_serialized)
+                fname = f"{name}.native.{plat}.stablehlo"
+                modules[plat] = fname
+                native_files[fname] = txt.encode()
+                if kept is None:
+                    kept = list(exp_n.module_kept_var_idx)
+                elif kept != list(exp_n.module_kept_var_idx):
+                    raise RuntimeError(
+                        f"native export: platforms disagree on kept "
+                        f"inputs for {name!r} ({kept} vs "
+                        f"{list(exp_n.module_kept_var_idx)})")
+            arg_specs = specs_for(name, nb)[1:]
+            # the lowered module's operands are the KEPT flat inputs
+            # (XLA drops unused param leaves): flat index < n_leaves is a
+            # param leaf, the rest are the logical array arguments
+            n_leaves = len(param_order)
+            inputs = []
+            for i in kept:
+                if i < n_leaves:
+                    inputs.append({"kind": "param",
+                                   "name": param_order[i]})
+                else:
+                    inputs.append({"kind": "arg", "index": i - n_leaves,
+                                   **_sd_json(arg_specs[i - n_leaves])})
+            nfns[name] = {
+                "args": [_sd_json(s) for s in arg_specs],
+                "inputs": inputs,
+                "out": _sd_json(jax.eval_shape(
+                    fns[name], *specs_for(name, nb))),
+                "modules": modules,
+            }
+        native_files["compile_options.pb"] = (
+            _xc.CompileOptions().SerializeAsString())
+        manifest["native"] = {
+            "batch": nb,
+            "platforms": list(native_platforms),
+            "param_order": param_order,
+            "compile_options": "compile_options.pb",
+            "functions": nfns,
+        }
+
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         flat = _quantize_flat(_flatten_params(jax.device_get(params)),
@@ -304,6 +382,9 @@ def export_serving(model: Any, params: Any, img_shape,
         for name, exp in exported.items():
             with open(os.path.join(out_dir, f"{name}.stablehlo"), "wb") as f:
                 f.write(exp.serialize())
+        for fname, blob in native_files.items():
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(blob)
         with open(os.path.join(out_dir, _MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2)
 

@@ -59,6 +59,11 @@ def main():
                    help="storage format of params.npz (bfloat16 halves, "
                         "int8 quarters the artifact; weight-only, graphs "
                         "unchanged, dequantized at load)")
+    p.add_argument("--native", action="store_true",
+                   help="also write fixed-batch single-platform StableHLO "
+                        "modules + compile_options.pb for the C++ PJRT "
+                        "serving host (cliffordtpu/native/pjrt_serve.cc)")
+    p.add_argument("--native_batch", type=int, default=8)
     p.add_argument("--outdir", required=True)
     args = p.parse_args()
     if args.fused_proj and args.arch != "vit":
@@ -85,7 +90,10 @@ def main():
                          out_dir=args.outdir,
                          platforms=tuple(args.platforms.split(",")),
                          data_parallel=args.data_parallel,
-                         params_dtype=args.params_dtype)
+                         params_dtype=args.params_dtype,
+                         native=args.native,
+                         native_platforms=tuple(args.platforms.split(",")),
+                         native_batch=args.native_batch)
     mani = res["manifest"]
     print(json.dumps({
         "outdir": args.outdir,
