@@ -272,6 +272,7 @@ std::map<std::string, HostArray> read_npz(const std::string& path) {
   std::string blob = read_file(path);
   const uint8_t* base = reinterpret_cast<const uint8_t*>(blob.data());
   size_t n = blob.size();
+  if (n < 22) die("npz: file too small for a ZIP archive");
   // find EOCD (scan back over optional comment)
   size_t eocd = std::string::npos;
   for (size_t i = n >= 22 ? n - 22 : 0;; --i) {
