@@ -92,80 +92,13 @@ def _eval_context():
     return contextlib.nullcontext(), None
 
 
-def _jsonable(o):
-    if isinstance(o, dict):
-        return {k: _jsonable(v) for k, v in o.items()}
-    if isinstance(o, (list, tuple)):
-        return [_jsonable(v) for v in o]
-    if hasattr(o, "tolist"):
-        return o.tolist()
-    return o
-
-
-def _load_json(path) -> Dict:
-    """Best-effort load of a JSON sidecar; {} on missing/corrupt."""
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {}
-
-
-def _merge_json_write(path, new_data: Dict) -> Dict:
-    """Merge-on-write: existing keys survive, this invocation's keys win.
-
-    Makes sliced sweeps safe — a per-family invocation into a shared
-    artifact dir no longer clobbers sibling families' entries (the
-    reference emits one unified artifact set across dists in a single
-    process, ``cnn/fashion_train.py:1382-1410``; we additionally allow
-    the sweep to be split across processes).
-    """
-    merged = _load_json(path)
-    merged.update(_jsonable(new_data))
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
-    return merged
-
-
-def _merge_across_dims(path, new_data: Dict) -> Dict:
-    """Merge across-dims curves keyed per (dist, dim) point.
-
-    ``new_data`` maps dist -> {metric: [...], "dims": [...]} with lists
-    aligned on "dims".  Points from this invocation override any existing
-    point at the same (dist, dim); everything else is preserved, and the
-    per-dist lists are re-sorted by dim.
-    """
-    def _group_by_dim(data):
-        # dims repeats once per trial; keep all trial entries per dim
-        groups: Dict = {}
-        for i, d in enumerate(data.get("dims", [])):
-            entry = {m: (data[m][i] if i < len(data[m]) else float("nan"))
-                     for m in data if m != "dims"}
-            groups.setdefault(d, []).append(entry)
-        return groups
-
-    merged = _load_json(path)
-    for dist, data in _jsonable(new_data).items():
-        if not data.get("dims"):
-            continue
-        groups = _group_by_dim(merged.get(dist, {}))
-        # this invocation's trial set replaces the whole dim-group
-        groups.update(_group_by_dim(data))
-        all_metrics = sorted({m for entries in groups.values()
-                              for e in entries for m in e})
-        out: Dict = {"dims": []}
-        out.update({m: [] for m in all_metrics})
-        for d in sorted(groups):
-            for e in groups[d]:
-                out["dims"].append(d)
-                for m in all_metrics:
-                    out[m].append(e.get(m, float("nan")))
-        merged[dist] = out
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=2)
-    return merged
-
-
+# merge-on-write artifact helpers shared with the MLP runner
+from cliffordtpu.utils.artifacts import (  # noqa: E402
+    jsonable as _jsonable,
+    load_json as _load_json,
+    merge_across_dims as _merge_across_dims,
+    merge_json_write as _merge_json_write,
+)
 
 
 def _run_subprocess_eval(args, state, output_dir, dataset_name,

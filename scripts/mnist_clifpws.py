@@ -65,6 +65,7 @@ from cliffordtpu.train.loop import (
 from cliffordtpu.train.schedules import linear_kl_warmup
 from cliffordtpu.train.state import create_train_state
 from cliffordtpu.utils import WandbLogger, ensure_dir, stable_hash
+from cliffordtpu.utils.artifacts import load_json, merge_json_write
 from cliffordtpu.vsa.capacity import (
     test_binding_unbinding_pairs as vsa_binding_unbinding,
     test_bundle_capacity as vsa_bundle_capacity,
@@ -563,42 +564,106 @@ def run(args):
                 print(f"eval time: {eval_time:.2f}s, "
                       f"total run time: {run_time:.2f}s")
 
-        # unified mean±std row per dim (reference :659-684)
-        row = {"d": mdim}
+        # persist this dim's raw per-trial aggregates to the merge-on-write
+        # sidecar so sliced per-dim/per-family invocations aggregate into
+        # one unified CSV (reference emits one CSV per sweep, :685-692)
+        sidecar_update = {}
         for dist in dists:
-            D = dist.upper()
+            entry = {"mvc": [float(v) for v in agg_mvc[dist]]}
             for s in KNN_SAMPLES:
-                accs, f1s = agg_results[dist][s], agg_f1[dist][s]
-                row[f"{D}_acc_{s}"] = (
-                    f"{np.mean(accs) * 100:.1f}±{np.std(accs) * 100:.1f}"
-                    if accs else "N/A")
-                row[f"{D}_f1_{s}"] = (
-                    f"{np.mean(f1s) * 100:.1f}±{np.std(f1s) * 100:.1f}"
-                    if f1s else "N/A")
-            mvc = agg_mvc[dist]
-            row[f"{D}_mvc"] = (
-                f"{np.mean(mvc) * 100:.1f}±{np.std(mvc) * 100:.1f}"
-                if mvc else "N/A")
+                entry[f"acc_{s}"] = [float(v) for v in agg_results[dist][s]]
+                entry[f"f1_{s}"] = [float(v) for v in agg_f1[dist][s]]
             for metric in ["ll", "entropy", "recon", "kl"]:
-                vals = agg_metrics[dist][metric]
-                row[f"{D}_{metric}"] = (
-                    f"{np.mean(vals):.2f}±{np.std(vals):.2f}"
-                    if vals else "N/A")
-        final_results.append(row)
+                entry[metric] = [float(v) for v in agg_metrics[dist][metric]]
+            sidecar_update[f"{mdim}|{dist}"] = entry
+        merged_trials = merge_json_write("mnist_vae_trial_metrics.json",
+                                         sidecar_update)
+        final_results.append(mdim)  # dims touched this invocation (logging)
 
-    if final_results:
+    # unified mean±std CSV regenerated from the merged sidecar
+    # (reference :659-692); column order follows the canonical family list
+    merged_trials = load_json("mnist_vae_trial_metrics.json")
+    all_dims = sorted({int(k.split("|")[0]) for k in merged_trials})
+    dist_cols = [d for d in DISTRIBUTIONS
+                 if any(k.split("|", 1)[1] == d for k in merged_trials)]
+    rows = []
+    for mdim in all_dims:
+        row = {"d": mdim}
+        for dist in dist_cols:
+            D = dist.upper()
+            e = merged_trials.get(f"{mdim}|{dist}", {})
+
+            def _fmt(vals, pct=True):
+                if not vals:
+                    return "N/A"
+                scale = 100 if pct else 1
+                prec = 1 if pct else 2
+                if len(vals) > 1:
+                    return (f"{np.mean(vals) * scale:.{prec}f}±"
+                            f"{np.std(vals) * scale:.{prec}f}")
+                return f"{vals[0] * scale:.{prec}f}"
+
+            for s in KNN_SAMPLES:
+                row[f"{D}_acc_{s}"] = _fmt(e.get(f"acc_{s}", []))
+                row[f"{D}_f1_{s}"] = _fmt(e.get(f"f1_{s}", []))
+            row[f"{D}_mvc"] = _fmt(e.get("mvc", []))
+            for metric in ["ll", "entropy", "recon", "kl"]:
+                row[f"{D}_{metric}"] = _fmt(e.get(metric, []), pct=False)
+        rows.append(row)
+    if rows:
         import pandas as pd
 
-        df = pd.DataFrame(final_results).set_index("d")
+        df = pd.DataFrame(rows).set_index("d")
         print("\n" + "=" * 25 + " all metrics " + "=" * 25)
         print(df.to_string())
         df.to_csv("mnist_vae_results.csv")
+
+        # across-dims LaTeX/CSV with bold-best (the paper's headline table,
+        # ``utils/wandb_utils.py:931-1134``) from the same merged sidecar
+        try:
+            across = {}
+            for key, e in merged_trials.items():
+                mdim_s, dist = key.split("|", 1)
+                a = across.setdefault(dist, {
+                    "knn_100": [], "knn_600": [], "knn_1000": [],
+                    "f1_100": [], "f1_600": [], "f1_1000": [],
+                    "mean_cosine": [], "dims": []})
+                n = max([len(e.get(f"acc_{s}", [])) for s in KNN_SAMPLES]
+                        + [len(e.get("mvc", []))] + [0])
+                for i in range(n):
+                    for s in KNN_SAMPLES:
+                        acc = e.get(f"acc_{s}", [])
+                        f1 = e.get(f"f1_{s}", [])
+                        a[f"knn_{s}"].append(
+                            acc[i] if i < len(acc) else float("nan"))
+                        a[f"f1_{s}"].append(
+                            f1[i] if i < len(f1) else float("nan"))
+                    mvc = e.get("mvc", [])
+                    a["mean_cosine"].append(
+                        mvc[i] if i < len(mvc) else float("nan"))
+                    a["dims"].append(int(mdim_s))
+            for dist in across:  # plotter aligns positionally: sort by dim
+                order = np.argsort(np.array(across[dist]["dims"]),
+                                   kind="stable")
+                for k in across[dist]:
+                    across[dist][k] = [across[dist][k][i] for i in order]
+            from cliffordtpu.eval.tables import plot_across_dims_comparison
+            path = plot_across_dims_comparison(
+                across, all_dims, "mnist", "results/comparisons/mnist")
+            if path:
+                print(f"saved across-dims comparison to {path}")
+        except Exception as e:
+            print(f"warning: across-dims comparison failed: {e}")
     else:
         print("no results were generated.")
 
+    # merge-on-write timing (sliced runs accumulate, totals add up)
     timing_results["total_script_time_s"] = time.time() - script_start_time
-    with open("mnist_clifpws_timing.json", "w") as f:
-        json.dump(timing_results, f, indent=2)
+    prior_total = load_json("mnist_clifpws_timing.json").get(
+        "total_script_time_s", 0.0)
+    if isinstance(prior_total, (int, float)):
+        timing_results["total_script_time_s"] += prior_total
+    merge_json_write("mnist_clifpws_timing.json", timing_results)
     print(f"\ntotal script execution time: "
           f"{timing_results['total_script_time_s']:.2f}s")
 
