@@ -155,19 +155,27 @@ class NativeBatchIterator:
         self.n_batches = int(lib.batcher_n_batches(self._handle))
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        # single-consumer, one-pass stream: the C++ batcher drains once.
+        # The finally releases the worker (ring buffers + array copies)
+        # as soon as iteration ends — including a consumer exception or
+        # an abandoned generator — instead of waiting for __del__.
         xb = np.empty((self._batch, self._row), np.float32)
         yb = np.empty((self._batch,), np.int64)
-        while True:
-            if self._handle is None:
-                return
-            got = self._lib.batcher_next(
-                self._handle,
-                xb.ctypes.data_as(ctypes.c_void_p),
-                yb.ctypes.data_as(ctypes.c_void_p))
-            if got <= 0:
-                return
-            g = int(got)
-            yield (xb[:g].reshape((g,) + self._shape).copy(), yb[:g].copy())
+        try:
+            while True:
+                if self._handle is None:
+                    return
+                got = self._lib.batcher_next(
+                    self._handle,
+                    xb.ctypes.data_as(ctypes.c_void_p),
+                    yb.ctypes.data_as(ctypes.c_void_p))
+                if got <= 0:
+                    return
+                g = int(got)
+                yield (xb[:g].reshape((g,) + self._shape).copy(),
+                       yb[:g].copy())
+        finally:
+            self.close()
 
     def close(self):
         h, self._handle = self._handle, None

@@ -199,7 +199,16 @@ def fused_attention(q, k, v, cos, sin):
 
 
 def attention_supported(q_shape) -> bool:
-    """Shape gate for the fused path (caller also checks the backend)."""
+    """Shape gate for the fused path (caller also checks the backend).
+
+    Budgeted on the BACKWARD working set (the larger of the two kernels):
+    seven (1, H, Sp, hd) f32 blocks (q/k/v/do in + dq/dk/dv out), the two
+    (Sp, hd) rotation tables, and ~3 live per-head (Sp, Sp) f32
+    score/softmax temporaries — so shapes that pass the gate also compile
+    when gradients are required (CLIFFORDTPU_ATTENTION=pallas training).
+    """
     B, S, H, hd = q_shape
-    return hd % 2 == 0 and hd >= 8 and S >= 2 and H * _round_up(S, 8) * hd \
-        * 4 * 4 < 6 * 1024 * 1024  # all four (1,H,Sp,hd) f32 blocks in VMEM
+    Sp = _round_up(S, 8)
+    working = (7 * H * Sp * hd + 2 * Sp * hd + 3 * Sp * Sp) * 4
+    return hd % 2 == 0 and hd >= 8 and S >= 2 and \
+        working < 6 * 1024 * 1024

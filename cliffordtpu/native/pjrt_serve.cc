@@ -356,6 +356,13 @@ std::map<std::string, HostArray> dequantize(std::map<std::string, HostArray> fla
       a.data.resize(v.nelem() * 4);
       // scale shape: all-but-last dims are 1 -> one scale per last-axis col
       int64_t cols = v.dims.empty() ? 1 : v.dims.back();
+      if (s.dtype != "f4")
+        die("params: ::scale for " + k + " has dtype " + s.dtype +
+            " (want f4)");
+      if (s.nelem() != cols)
+        die("params: ::scale for " + k + " has " +
+            std::to_string(s.nelem()) + " elements (want " +
+            std::to_string(cols) + ")");
       const int8_t* q = reinterpret_cast<const int8_t*>(v.data.data());
       const float* sc = reinterpret_cast<const float*>(s.data.data());
       float* dst = reinterpret_cast<float*>(a.data.data());

@@ -76,9 +76,12 @@ def _migrate_rope_layout(tree: Any, n_heads: int) -> int:
             for dense in ("Dense_0", "Dense_1"):  # q, k projections
                 kern = sub.get(dense, {}).get("kernel") if isinstance(
                     sub.get(dense), dict) else None
-                if kern is not None and np.ndim(kern) == 2:
-                    perm = _rope_half_perm(kern.shape[1], n_heads)
-                    sub[dense]["kernel"] = np.asarray(kern)[:, perm]
+                if kern is not None and np.ndim(kern) >= 2:
+                    # last axis = output features; a leading layer axis
+                    # (scan_layers-stacked 3-D kernels) permutes the same
+                    # way, matching param_convert's layout handling
+                    perm = _rope_half_perm(np.shape(kern)[-1], n_heads)
+                    sub[dense]["kernel"] = np.asarray(kern)[..., perm]
                     n += 1
         n += _migrate_rope_layout(sub, n_heads)
     return n
