@@ -116,7 +116,9 @@ PJRT_Error* ClientCompile(PJRT_Client_Compile_Args* a) {
   const PJRT_Program* p = a->program;
   if (std::string(p->format, p->format_size) != "mlir")
     return err("mock plugin: program format must be 'mlir'");
-  std::string code(p->code, p->code_size < 4096 ? p->code_size : 4096);
+  // scan the WHOLE program: a module printed with debug info front-loads
+  // arbitrarily many #loc lines, so a fixed-size prefix sniff is brittle
+  std::string code(p->code, p->code_size);
   if (code.find("stablehlo") == std::string::npos &&
       code.find("func.func") == std::string::npos)
     return err("mock plugin: program does not look like StableHLO");

@@ -164,6 +164,24 @@ def _sd_json(sd) -> dict:
     return {"shape": [str(d) for d in sd.shape], "dtype": str(sd.dtype)}
 
 
+def _strip_debug_locs(txt: str) -> str:
+    """Re-print an MLIR module with debug locations dropped.
+
+    jax's ``deserialize_portable_artifact`` prints the module WITH full
+    debug info — ``#loc`` lines recording the python call stack of the
+    exporting process (absolute paths, pytest frames, caller depth), so
+    the artifact bytes vary with who called export.  MLIR's asm printer
+    omits locations unless asked for them, so a parse + re-print is the
+    supported way to get canonical, location-free text.
+    """
+    from jax._src.interpreters import mlir as _mlir
+    from jax._src.lib.mlir import ir as _ir
+
+    with _mlir.make_ir_context():
+        return _ir.Module.parse(txt).operation.get_asm(
+            enable_debug_info=False)
+
+
 def export_serving(model: Any, params: Any, img_shape,
                    out_dir: Optional[str] = None,
                    platforms=("cpu", "tpu"),
@@ -263,8 +281,16 @@ def export_serving(model: Any, params: Any, img_shape,
             batch_mode[name] = "symbolic"
         except Exception as e:
             # some lowerings reject shape polymorphism (commonly RNG
-            # paths); pin the batch and record it — loudly, so a genuine
-            # export bug is not mistaken for a polymorphism rejection
+            # paths); pin the batch and record it — loudly.  Only
+            # polymorphism rejections get the fixed-batch retry: a
+            # genuine export failure (bad params tree, lowering bug)
+            # would fail identically with a pinned batch, so re-raise it
+            # at the first attempt instead of masking it.
+            blob = f"{type(e).__name__} {e}".lower()
+            if not any(m in blob for m in (
+                    "symbolic", "polymorphi", "dimension variable",
+                    "shape_poly", "inconclusive")):
+                raise
             fixed = max(fallback_batch, dp)
             fixed -= fixed % dp
             import sys
@@ -334,6 +360,13 @@ def export_serving(model: Any, params: Any, img_shape,
                 # every PJRT plugin's "mlir" program format accepts
                 txt = _xc._xla.mlir.deserialize_portable_artifact(
                     exp_n.mlir_module_serialized)
+                # re-print without debug info: the deserialized text
+                # carries #loc python-callstack locations (build-machine
+                # paths, caller-stack-depth dependent), which bloat the
+                # artifact and make the bytes nondeterministic across
+                # call sites.  Serving artifacts must be deterministic
+                # and host-path-free.
+                txt = _strip_debug_locs(txt)
                 fname = f"{name}.native.{plat}.stablehlo"
                 modules[plat] = fname
                 native_files[fname] = txt.encode()

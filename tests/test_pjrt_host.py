@@ -141,6 +141,22 @@ def test_host_mock_roundtrip(bundle, tmp_path):
     np.testing.assert_array_equal(np.load(zout), z)
 
 
+def test_native_modules_location_free(bundle):
+    """Native serving modules must be deterministic and host-path-free:
+    no ``#loc`` python-callstack debug info (regression: a deep caller
+    stack front-loaded enough #loc lines to push ``func.func`` past a
+    4 KB prefix sniff, so the artifact BYTES depended on who called
+    export_serving)."""
+    man = json.load(open(os.path.join(bundle["dir"], "manifest.json")))
+    for spec in man["native"]["functions"].values():
+        for fname in spec["modules"].values():
+            txt = open(os.path.join(bundle["dir"], fname)).read()
+            assert "#loc" not in txt, f"{fname} carries debug locations"
+            assert "site-packages" not in txt and "/root/" not in txt
+            # canary for header bloat: entry func stays near the top
+            assert 0 <= txt.find("func.func") < 4096
+
+
 def test_host_mock_multi_input_and_bench(bundle, tmp_path):
     """encode_z takes (key u32[2], x f32[b,28,28,1]); bench mode emits
     latency stats as one JSON line."""
