@@ -149,15 +149,21 @@ class CliffordPowerSphericalDistribution:
         from cliffordtpu.distributions.power_spherical import _EPS as _PS_EPS
 
         loc, kappa = self._params()
-        if not sample_shape and os.environ.get(
-                "CLIFFORDTPU_SAMPLER") == "pallas_rng":
-            # opt-in fused sampler+embed kernel with the TPU hardware PRNG
-            # (kernels/sampler_pallas.py): identical formula and epsilons,
-            # DIFFERENT random stream than the keyed threefry path — see
-            # the kernel docstring for the determinism contract
-            from cliffordtpu.kernels.sampler_pallas import sample_torus_fused
+        sampler_env = os.environ.get("CLIFFORDTPU_SAMPLER")
+        if not sample_shape and sampler_env in ("pallas_rng", "pallas_keyed"):
+            # opt-in fused sampler+embed kernels (kernels/sampler_pallas.py),
+            # identical formula and epsilons:
+            #   pallas_rng   — TPU hardware PRNG, DIFFERENT random stream
+            #   pallas_keyed — in-kernel threefry on jax.random's counters,
+            #                  SAME stream (u, v bit-identical to this path)
+            if sampler_env == "pallas_rng":
+                from cliffordtpu.kernels.sampler_pallas import (
+                    sample_torus_fused as fused_fn)
+            else:
+                from cliffordtpu.kernels.sampler_pallas import (
+                    sample_torus_fused_keyed as fused_fn)
 
-            fused = sample_torus_fused(key, loc, kappa)
+            fused = fused_fn(key, loc, kappa)
             if fused is not None:
                 return fused
         shape = tuple(sample_shape) + loc.shape

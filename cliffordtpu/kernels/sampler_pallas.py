@@ -1,30 +1,40 @@
-"""Fused Clifford-torus SAMPLER + embedding kernel (Pallas / Mosaic TPU).
+"""Fused Clifford-torus SAMPLER + embedding kernels (Pallas / Mosaic TPU).
 
 ``CliffordPowerSphericalDistribution.sample`` is, at large latent dims,
 RNG-bound: the round-3 cnn4096 profile puts the ``reparam`` scope at 54%
 of the whole train step, dominated by threefry u32 bit generation on the
 VPU (BASELINE.md; both the ``rbg`` PRNG and partitionable threefry
-measured slower end-to-end).  This kernel attacks that floor directly by
-doing EVERYTHING on-core in one pass:
-
-* uniforms from the TPU's hardware PRNG (``pltpu.prng_seed`` /
-  ``prng_random_bits``) — no threefry bit stream in the program at all,
-* the exact closed-form circle sampler (Bailey polar Student-t form,
-  ``distributions/clifford_torus.py::sample``):
+measured slower end-to-end).  TWO kernels attack that floor by doing
+everything on-core in one pass — uniforms, the exact closed-form circle
+sampler (Bailey polar Student-t form,
+``distributions/clifford_torus.py::sample``):
       nu = 2 (kappa + eps) + 1
       w  = expm1((-2/nu) ln U)
       theta = loc + 2 atan(cos(2 pi V) sqrt(w))
-* the real-DFT torus embedding with in-kernel basis generation
-  (same dual-matmul scheme as ``torus_pallas.py``).
+and the real-DFT torus embedding with in-kernel basis generation (same
+dual-matmul scheme as ``torus_pallas.py``).  They differ ONLY in where
+the uniforms come from:
 
-The sampler math and epsilons mirror the XLA path EXACTLY (same formula,
-same 1e-12 U clamp, same `_PS_EPS`); only the random STREAM differs —
-hardware PRNG draws instead of the keyed threefry stream.  Determinism
-is still per (key, shape): the kernel is seeded from the fold of the
-caller's key, so reruns with the same key reproduce bit-identically on
-the same hardware.  Because the stream differs from ``jax.random``, this
-path is OPT-IN (``CLIFFORDTPU_SAMPLER=pallas_rng``) and the runners'
-default keyed-threefry behavior is unchanged.
+* ``sample_torus_fused`` (CLIFFORDTPU_SAMPLER=pallas_rng) — the TPU's
+  hardware PRNG (``pltpu.prng_seed`` / ``prng_random_bits``): cheapest
+  bit-gen, but a DIFFERENT random stream than ``jax.random`` (still
+  deterministic per caller key: the folded key words seed the PRNG).
+
+* ``sample_torus_fused_keyed`` (CLIFFORDTPU_SAMPLER=pallas_keyed) — in-
+  kernel threefry-2x32 on EXACTLY the counters jax's default
+  partitionable bit-gen uses (hi=0, lo=flat index, out = bits1 ^
+  bits2), keyed by the same ``jax.random.split(key)`` halves as the XLA
+  sampler: the SAME stream.  The raw bits are bit-identical; V (no
+  minval) is bit-identical; U carries <= 2 ulp of slack because XLA's
+  algebraic simplifier freely reassociates the minval affine
+  ``f * (1 - 1e-12) + 1e-12`` (jitted ``jax.random.uniform`` already
+  differs from eager by the same 2 ulp on jax 0.9), and theta agrees to
+  transcendental-implementation tolerance.
+
+The sampler math and epsilons mirror the XLA path EXACTLY in both (same
+formula, same 1e-12 U clamp, same `_PS_EPS`).  Both are OPT-IN and the
+runners' default XLA keyed-threefry behavior is unchanged until an
+on-chip paired A/B records a win (BASELINE.md).
 
 Backward (reparameterized) gradients flow through a custom VJP: the
 kernel also writes theta / U / V residuals; ``dtheta`` reuses the fused
@@ -65,6 +75,30 @@ def _bits_to_unit_float(bits):
     bits = pltpu.bitcast(bits, jnp.uint32)
     f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
     return f - 1.0
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, the jax default PRNG, as traced u32 vector code.
+
+    Bit-identical to ``jax._src.prng.threefry2x32`` (20 rounds, key
+    injection every 4): feeding the counters ``jax.random`` uses makes
+    in-kernel draws reproduce ``jax.random.uniform`` exactly.
+    """
+    def rotl(x, r):
+        return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+    rotations = ((13, 15, 26, 6), (17, 29, 16, 24))
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for i in range(5):
+        for r in rotations[i % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x0 ^ x1
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
 
 
 def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
@@ -183,6 +217,193 @@ def _sample_embed_bwd(d: int, res, g):
 
 
 _sample_embed.defvjp(_sample_embed_fwd, _sample_embed_bwd)
+
+
+# ---- keyed variant: in-kernel threefry, bit-exact with jax.random ----
+
+
+def _xla_uniform_from_bits(bits, minval: float):
+    """u32 bits -> f32 uniform, replicating ``jax.random.uniform``'s
+    arithmetic exactly (jax/_src/random.py::_uniform): mantissa-trick
+    float in [0, 1), then ``max(minval, f * (maxval - minval) + minval)``
+    in f32.  With the same bits this returns the same floats as the XLA
+    path, so kernels built on it are SAME-STREAM with keyed
+    ``jax.random`` draws."""
+    f = _bits_to_unit_float(bits)
+    if minval == 0.0:
+        return f  # max(0, f*1 + 0) == f for f in [0, 1)
+    mv = jnp.float32(minval)
+    sc = jnp.float32(1.0) - mv  # what XLA constant-folds (maxval-minval)
+    return jnp.maximum(mv, f * sc + mv)
+
+
+def _keyed_sample_embed_kernel(seed_ref, loc_ref, kap_ref,
+                               out_ref, th_ref, u_ref, v_ref,
+                               cos_sc, sin_sc, th_sc,
+                               *, d: int, TN: int, kp: int, TB: int):
+    """Same structure as ``_sample_embed_kernel``, but the uniforms come
+    from in-kernel threefry-2x32 on EXACTLY the counters jax 0.9's
+    default partitionable bit-gen uses
+    (prng.py::_threefry_random_bits_partitionable): per element at flat
+    index q = r*d + c the counter pair is (hi=0, lo=q) and the output
+    word is ``bits1 ^ bits2`` — so u and v are bit-identical to
+    ``jax.random.uniform(k_u/k_v, (B, d))`` at the same one-threefry-
+    per-element arithmetic cost as the XLA path."""
+    j = pl.program_id(1)  # output-column tile (inner)
+    i = pl.program_id(0)  # batch tile (OUTER — theta cached per tile)
+
+    @pl.when(j == 0)
+    def _draw_and_sample():
+        r = jax.lax.broadcasted_iota(jnp.int32, (TB, kp), 0) + i * TB
+        cc = jax.lax.broadcasted_iota(jnp.int32, (TB, kp), 1)
+        # kernel col cc is angle index cc+1 (angle 0 never embeds);
+        # padded cols duplicate the last real counter — values unused
+        c = jnp.minimum(cc + 1, d - 1)
+        lo = pltpu.bitcast(r * d + c, jnp.uint32)
+        hi = jnp.zeros_like(lo)
+        a0, a1 = _threefry2x32(seed_ref[0], seed_ref[1], hi, lo)
+        b0, b1 = _threefry2x32(seed_ref[2], seed_ref[3], hi, lo)
+        u = _xla_uniform_from_bits(a0 ^ a1, _U_MIN)
+        v = _xla_uniform_from_bits(b0 ^ b1, 0.0)
+        loc = loc_ref[:]
+        kappa = kap_ref[:]
+        nu = 2.0 * (kappa + _PS_EPS) + 1.0
+        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
+        theta = loc + 2.0 * jnp.arctan(
+            jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
+        th_sc[:] = theta
+        th_ref[:] = theta
+        u_ref[:] = u
+        v_ref[:] = v
+
+    cos_sc[:], sin_sc[:] = basis_tiles((kp, TN), d, k_axis=0,
+                                       n_offset=j * TN)
+    th = th_sc[:]
+    out_ref[:] = (
+        jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
+        + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
+        + const_cols(out_ref.shape, d, j * TN)
+    )
+
+
+def _keyed_sample_embed_call(seeds, loc_pad, kap_pad, d: int):
+    B, kp = loc_pad.shape
+    n = 2 * d
+    np_ = _round_up(n, 128)
+    # same six-(TB, kp)-buffer VMEM budget as _sample_embed_call
+    TB = min(B, 256 if kp <= 1024 else (128 if kp <= 2048 else 64))
+    TN = 128 if kp > 1024 else min(512, np_)
+    grid = (pl.cdiv(B, TB), pl.cdiv(np_, TN))  # i outer, j inner
+    return pl.pallas_call(
+        functools.partial(_keyed_sample_embed_kernel, d=d, TN=TN, kp=kp,
+                          TB=TB),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, np_), jnp.float32),  # x
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # theta
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # u
+            jax.ShapeDtypeStruct((B, kp), jnp.float32),   # v
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kp, TN), jnp.float32),
+            pltpu.VMEM((kp, TN), jnp.float32),
+            pltpu.VMEM((TB, kp), jnp.float32),
+        ],
+    )(seeds, loc_pad, kap_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _keyed_sample_embed(seeds, loc_pad, kap_pad, d: int):
+    x, _, _, _ = _keyed_sample_embed_call(seeds, loc_pad, kap_pad, d)
+    return x
+
+
+def _keyed_sample_embed_fwd(seeds, loc_pad, kap_pad, d: int):
+    x, th, u, v = _keyed_sample_embed_call(seeds, loc_pad, kap_pad, d)
+    return x, (th, u, v, kap_pad)
+
+
+def _keyed_sample_embed_bwd(d: int, res, g):
+    # identical math to the hw-PRNG variant (residual layout matches)
+    dummy, dth, dkap = _sample_embed_bwd(d, res, g)
+    return (None, dth, dkap)
+
+
+_keyed_sample_embed.defvjp(_keyed_sample_embed_fwd, _keyed_sample_embed_bwd)
+
+
+def _raw_key_words(k):
+    if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+        k = jax.random.key_data(k)
+    return k.astype(jnp.uint32).reshape(-1)[:2]
+
+
+def _keyed_sample_torus(key, loc2, kap2, d: int, B: int):
+    """Padding + seed plumbing around the keyed kernel (2-D inputs);
+    callable directly from interpret-mode tests."""
+    kp = _round_up(d - 1, 8)
+    Bp = _round_up(B, 8)
+    k_u, k_v = jax.random.split(key)
+    seeds = jnp.concatenate([_raw_key_words(k_u), _raw_key_words(k_v)])
+    loc_pad = jnp.zeros((Bp, kp), jnp.float32).at[:B, : d - 1].set(
+        loc2[:, 1:])
+    kap_pad = jnp.ones((Bp, kp), jnp.float32).at[:B, : d - 1].set(
+        kap2[:, 1:])
+    x = _keyed_sample_embed(seeds, loc_pad, kap_pad, d)
+    return x[:B, : 2 * d]
+
+
+def sample_torus_fused_keyed(key, loc, kappa):
+    """Keyed fused sampler+embed: SAME random stream as the XLA sampler.
+
+    Unlike ``sample_torus_fused`` (hardware PRNG, different stream),
+    this kernel generates its two uniforms in-kernel with threefry-2x32
+    on exactly the counters ``jax.random.uniform`` uses under jax's
+    default partitionable bit-gen, so u and v are BIT-IDENTICAL to the
+    keyed XLA path (theta then agrees to transcendental-implementation
+    tolerance).  Fuses bit-gen + transcendentals + the DFT matmul in
+    VMEM — attacking the cnn4096 profile's 54%-of-step reparam share
+    (BASELINE.md r3) without changing the random stream.  Opt-in:
+    CLIFFORDTPU_SAMPLER=pallas_keyed.
+
+    Returns None (caller keeps the XLA path) off-TPU, for unsupported
+    dims, or when ``jax_threefry_partitionable`` is disabled (the
+    original counter scheme is a different stream)."""
+    from cliffordtpu.ops.torus import MATMUL_MAX_DIM
+
+    d = loc.shape[-1]
+    if d < 2 or d > MATMUL_MAX_DIM or jax.default_backend() == "cpu":
+        return None
+    if not jax.config.jax_threefry_partitionable:
+        return None
+    batch_shape = loc.shape[:-1]
+    B = 1
+    for s in batch_shape:
+        B *= int(s)
+    if B < 1:
+        return None
+    loc2 = loc.reshape(-1, d).astype(jnp.float32)
+    kap2 = jnp.broadcast_to(kappa, loc.shape).reshape(-1, d)
+    kap2 = kap2.astype(jnp.float32)
+    x = _keyed_sample_torus(key, loc2, kap2, d, B)
+    return x.reshape(*batch_shape, 2 * d).astype(loc.dtype)
 
 
 def sample_torus_fused(key, loc, kappa):

@@ -206,6 +206,122 @@ def test_sampler_env_optin_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
+# ---- keyed fused sampler (in-kernel threefry, same stream) ----
+
+
+@pytest.mark.parametrize("d,B", [(9, 16), (33, 7), (64, 32)])
+def test_keyed_sampler_bit_exact_stream_interpret(d, B):
+    """The keyed kernel's (u, v) residuals reproduce the XLA path's
+    jax.random.uniform draws — same split, same partitionable counters
+    (hi=0, lo=flat index), same bit-gen.  v is bit-identical; u agrees
+    to the 2-ulp slack XLA's own reassociation of the minval affine
+    introduces between eager and jitted uniform.  This is the whole
+    point of the keyed variant (sample_torus_fused is a different
+    stream)."""
+    from cliffordtpu.kernels import sampler_pallas as sp
+    from cliffordtpu.kernels.torus_pallas import _round_up
+
+    key = jax.random.PRNGKey(7)
+    loc = jax.random.uniform(KEY, (B, d)) * 2 * np.pi - np.pi
+    kap = jax.random.uniform(jax.random.PRNGKey(1), (B, d)) * 10 + 0.5
+    kp = _round_up(d - 1, 8)
+    Bp = _round_up(B, 8)
+    k_u, k_v = jax.random.split(key)
+    seeds = jnp.concatenate([sp._raw_key_words(k_u),
+                             sp._raw_key_words(k_v)])
+    loc_pad = jnp.zeros((Bp, kp), jnp.float32).at[:B, : d - 1].set(
+        loc[:, 1:])
+    kap_pad = jnp.ones((Bp, kp), jnp.float32).at[:B, : d - 1].set(
+        kap[:, 1:])
+    with pltpu.force_tpu_interpret_mode():
+        _, _, u, v = sp._keyed_sample_embed_call(seeds, loc_pad,
+                                                 kap_pad, d)
+    u_want = jax.random.uniform(k_u, (B, d), dtype=jnp.float32,
+                                minval=1e-12)
+    v_want = jax.random.uniform(k_v, (B, d), dtype=jnp.float32)
+    # v (minval=0) is the raw mantissa float: BIT-exact.  u's affine
+    # minval transform is reassociated freely by XLA itself (jitted
+    # uniform != eager uniform by up to 2 ulp on this jax version —
+    # see the kernel docstring), so u is pinned to <= 2 ulp.
+    np.testing.assert_array_equal(np.asarray(v)[:B, : d - 1],
+                                  np.asarray(v_want)[:, 1:])
+    np.testing.assert_array_max_ulp(np.asarray(u)[:B, : d - 1],
+                                    np.asarray(u_want)[:, 1:], maxulp=2)
+
+
+@pytest.mark.parametrize("d,B", [(9, 16), (64, 32)])
+def test_keyed_sampler_matches_xla_sampler_interpret(d, B):
+    """End to end: the keyed fused path must reproduce the XLA sampler's
+    OUTPUT (same key -> same embedding) to transcendental tolerance."""
+    from cliffordtpu.distributions.clifford_torus import (
+        CliffordPowerSphericalDistribution)
+    from cliffordtpu.kernels import sampler_pallas as sp
+
+    key = jax.random.PRNGKey(11)
+    loc = jax.random.uniform(KEY, (B, d)) * 2 * np.pi - np.pi
+    kap = jax.random.uniform(jax.random.PRNGKey(2), (B, d)) * 10 + 0.5
+    want = CliffordPowerSphericalDistribution(
+        loc=loc, concentration=kap).sample(key)
+    with pltpu.force_tpu_interpret_mode():
+        got = sp._keyed_sample_torus(
+            key, loc.astype(jnp.float32), kap.astype(jnp.float32), d, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_keyed_sampler_gradients_match_xla_interpret():
+    """Same stream => the custom VJP can be checked against autodiff of
+    the real XLA sampler directly (impossible for the hw-PRNG variant)."""
+    from cliffordtpu.distributions.clifford_torus import (
+        CliffordPowerSphericalDistribution)
+    from cliffordtpu.kernels import sampler_pallas as sp
+
+    d, B = 9, 16
+    key = jax.random.PRNGKey(13)
+    loc = jax.random.uniform(KEY, (B, d)) * 2 * np.pi - np.pi
+    kap = jax.random.uniform(jax.random.PRNGKey(3), (B, d)) * 10 + 0.5
+    W = jax.random.normal(jax.random.PRNGKey(4), (B, 2 * d))
+
+    def loss_ref(lc, kp_):
+        d_ = CliffordPowerSphericalDistribution(loc=lc, concentration=kp_)
+        return jnp.sum(W * d_.sample(key))
+
+    def loss_keyed(lc, kp_):
+        return jnp.sum(W * sp._keyed_sample_torus(
+            key, lc.astype(jnp.float32), kp_.astype(jnp.float32), d, B))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(loc, kap)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(loss_keyed, argnums=(0, 1))(loc, kap)
+    for got, want in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+
+def test_keyed_sampler_cpu_fallback_returns_none():
+    """Public entry declines off-TPU, keeping the XLA path (the env
+    opt-in is therefore safe to set globally)."""
+    from cliffordtpu.kernels.sampler_pallas import sample_torus_fused_keyed
+
+    loc = jax.random.uniform(KEY, (4, 9))
+    assert sample_torus_fused_keyed(
+        jax.random.PRNGKey(0), loc, jnp.full((4, 9), 3.0)) is None
+
+
+def test_keyed_env_optin_dispatch(monkeypatch):
+    """CLIFFORDTPU_SAMPLER=pallas_keyed on CPU falls through untouched."""
+    from cliffordtpu.distributions.clifford_torus import (
+        CliffordPowerSphericalDistribution)
+
+    loc = jax.random.uniform(KEY, (4, 9))
+    dist = CliffordPowerSphericalDistribution(
+        loc=loc, concentration=jnp.full((4, 9), 3.0))
+    want = dist.sample(jax.random.PRNGKey(5))
+    monkeypatch.setenv("CLIFFORDTPU_SAMPLER", "pallas_keyed")
+    got = dist.sample(jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
 # ---- fused RoPE+attention kernel (kernels/attention_pallas.py) ----
 
 
