@@ -306,14 +306,17 @@ def main():
                          "bit generator — same distributions, different "
                          "stream; profiled win where per-element sampling "
                          "dominates, e.g. cnn4096's d=4096 reparam)")
-    ap.add_argument("--sampler", choices=["keyed", "pallas_rng"],
+    ap.add_argument("--sampler",
+                    choices=["keyed", "pallas_rng", "pallas_keyed"],
                     default="keyed",
                     help="clifford circle sampler: keyed (jax.random "
-                         "threefry stream, the default everywhere) or "
+                         "threefry stream, the default everywhere), "
                          "pallas_rng (fused sample+embed kernel on the TPU "
                          "hardware PRNG — same formula/epsilons, different "
-                         "stream; targets the d>=2048 reparam floor, see "
-                         "kernels/sampler_pallas.py)")
+                         "stream), or pallas_keyed (fused kernel with "
+                         "in-kernel threefry on jax.random's counters — "
+                         "SAME stream; targets the d>=2048 reparam floor, "
+                         "see kernels/sampler_pallas.py)")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla",
                     help="ViT attention path: xla (apply_rotary_half + "
                          "jax.nn.dot_product_attention, the default) or "

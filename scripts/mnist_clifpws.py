@@ -319,6 +319,19 @@ def run(args):
                         return default
                     return safe_eval(label, fn, default)
 
+                # sweep mode (--full_eval_runs N): the heavy VSA battery
+                # + plot stages run on the first N runs per (dim, dist)
+                # only; the across-dims table needs just knn / mvc / test
+                # metrics per run, which always run.  Mirrors the
+                # reference's own split: the table (:685-698) never
+                # reads the capacity curves.
+                heavy_ok = run_i < getattr(args, "full_eval_runs", 10**9)
+
+                def hstage(label, fn, default=None):
+                    if not heavy_ok:
+                        return default
+                    return stage(label, fn, default)
+
                 eval_ctx, eval_dev = _eval_context()
                 eval_ctx.__enter__()
                 eval_params = (jax.device_put(state.params, eval_dev)
@@ -364,13 +377,13 @@ def run(args):
                 deconv_dir = ensure_dir(f"{vis_dir}/deconv")
                 x_sub, y_sub = x_test[:1000], y_test[:1000]
 
-                fourier_pseudo = stage(
+                fourier_pseudo = hstage(
                     "self_binding(*)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, vis_dir, unbind_method="*",
                         key=ekey),
                     default=dict(EMPTY_BINDING))
-                fourier_deconv = stage(
+                fourier_deconv = hstage(
                     "self_binding(†)",
                     lambda: test_self_binding(
                         handle, x_sub, y_sub, deconv_dir, unbind_method="†",
@@ -379,14 +392,15 @@ def run(args):
 
                 # item memory of posterior means (reference :364-376)
                 n_mem = min(500, len(x_test))
-                item_memory = stage(
+                item_memory = hstage(
                     "item_memory",
                     lambda: handle.latent_mu(x_test[:n_mem], ekey))
                 item_labels = y_test[:n_mem]
                 item_images = ds["x_test"][:n_mem]
 
-                print(f"running 1-item-per-class test ({dist})...")
-                stage("per_class_bundle", lambda: test_per_class_bundle_capacity_k_items(
+                if heavy_ok and not did_sub:
+                    print(f"running VSA battery ({dist})...")
+                hstage("per_class_bundle", lambda: test_per_class_bundle_capacity_k_items(
                     d=item_memory.shape[-1], n_items=n_mem, n_classes=10,
                     items_per_class=1, n_trials=2, plot=True,
                     save_dir=vis_dir, item_memory=item_memory,
@@ -394,8 +408,7 @@ def run(args):
                     item_images=item_images * 2 - 1,
                     class_names=[str(i) for i in range(10)], key=ekey))
 
-                print(f"running bundle capacity ({dist})...")
-                bundle_cap_raw = stage(
+                bundle_cap_raw = hstage(
                     "bundle_capacity",
                     lambda: vsa_bundle_capacity(
                         d=item_memory.shape[-1], n_items=n_mem,
@@ -404,14 +417,13 @@ def run(args):
                         save_dir=vis_dir, item_memory=item_memory, key=ekey),
                     default=dict(EMPTY_CURVE))
 
-                print(f"running role-filler unbinding ({dist})...")
                 rf_results = {}
                 for ubmethod, rf_name in [
                     ("*", "role_filler_no_random_keys"),
                     ("†", "role_filler_no_random_keys_deconv"),
                 ]:
                     save_d = deconv_dir if ubmethod == "†" else vis_dir
-                    rf_res = stage(
+                    rf_res = hstage(
                         f"role_filler({ubmethod})",
                         lambda ub=ubmethod, sd=save_d: vsa_binding_unbinding(
                             d=item_memory.shape[-1], n_items=n_mem,
@@ -430,26 +442,26 @@ def run(args):
                 role_filler_raw = rf_results.get(
                     "role_filler_no_random_keys", {})
 
-                stage("pairwise_bind_bundle",
+                hstage("pairwise_bind_bundle",
                           lambda: test_pairwise_bind_bundle_decode(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1),
                               class_names=[str(i) for i in range(10)],
                               key=ekey))
-                stage("cross_class_bind_unbind",
+                hstage("cross_class_bind_unbind",
                           lambda: test_cross_class_bind_unbind(
                               handle, x_sub, y_sub, vis_dir,
                               img_shape=(28, 28, 1), class_a=6, class_b=9,
                               key=ekey))
 
-                stage("reconstructions", lambda: plot_reconstructions(
+                hstage("reconstructions", lambda: plot_reconstructions(
                     handle, x_test, os.path.join(vis_dir,
                                                  "reconstructions.png"),
                     key=ekey))
-                stage("interpolations", lambda: plot_interpolations(
+                hstage("interpolations", lambda: plot_interpolations(
                     handle, x_test, y_test,
                     os.path.join(vis_dir, "interpolations.png"), key=ekey))
-                stage("tsne", lambda: plot_latent_space(
+                hstage("tsne", lambda: plot_latent_space(
                     handle, x_test, y_test, os.path.join(vis_dir, "tsne.png"),
                     n_plot=min(1000, len(x_test)), key=ekey))
 
@@ -526,16 +538,16 @@ def run(args):
                     json.dump(trial_metrics_out, f, indent=2)
 
                 if dist == "clifford" and mdim >= 2:
-                    stage("clifford_manifold",
+                    hstage("clifford_manifold",
                               lambda: plot_clifford_manifold_visualization(
                                   handle, vis_dir, n_grid=16, dims=(0, 1)))
                 elif dist == "powerspherical" and mdim >= 2:
-                    stage("ps_manifold",
+                    hstage("ps_manifold",
                               lambda: plot_powerspherical_manifold_visualization(
                                   handle, vis_dir, n_samples=1000,
                                   dims=(0, 1), key=ekey))
                 elif dist == "normal" and mdim >= 2:
-                    stage("gaussian_manifold",
+                    hstage("gaussian_manifold",
                               lambda: plot_gaussian_manifold_visualization(
                                   handle, vis_dir, n_samples=1000,
                                   dims=(0, 1), key=ekey))
@@ -704,6 +716,12 @@ def build_parser():
                              "vmapped XLA program (per-trial results equal "
                              "the sequential path; the reference trains "
                              "its 20 runs one by one)")
+    parser.add_argument("--full_eval_runs", type=int, default=10**9,
+                        help="run the heavy VSA battery / plot stages on "
+                             "only the first N runs per (dim, dist); all "
+                             "runs keep the table-feeding eval (test "
+                             "metrics, knn, mean-vector cosine).  Default: "
+                             "all runs full")
     parser.add_argument("--train_only", action="store_true",
                         help="skip the eval battery entirely (timing/perf "
                              "studies); metrics columns come out NaN")

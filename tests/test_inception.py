@@ -168,3 +168,59 @@ def test_fid_label_matches_computation(tmp_path, monkeypatch):
                       n_samples=2, batch_size=2, key=key,
                       feature_extractor="auto")
     assert res["fid_features"] == "random_conv"
+
+
+def test_frechet_matches_torchmetrics_reference():
+    """VERDICT r3 item 6: cross-check the mu/cov/Fréchet pipeline against
+    the exact computation torchmetrics' FrechetInceptionDistance.compute
+    performs, inlined in torch (torchmetrics itself is not installable in
+    this zero-egress env): double-precision sum / x^T x accumulators,
+    unbiased covariance, and tr sqrtm(S1 S2) via torch.linalg.eigvals
+    (torchmetrics/image/fid.py::_compute_fid).  Identical feature sets in,
+    FID out must agree to 1e-4 relative."""
+    import torch
+
+    from cliffordtpu.eval.fid import _frechet
+
+    rng = np.random.default_rng(0)
+    mix = rng.normal(size=(64, 64))
+    a = rng.normal(size=(512, 64)) @ (0.3 * mix) + rng.normal(size=(64,))
+    b = rng.normal(size=(512, 64)) @ (0.25 * mix) + rng.normal(
+        size=(64,)) * 1.1
+
+    mu1, c1 = a.mean(0), np.cov(a, rowvar=False)
+    mu2, c2 = b.mean(0), np.cov(b, rowvar=False)
+    ours = _frechet(mu1, c1, mu2, c2)
+
+    # --- torchmetrics math, verbatim ---
+    t1 = torch.from_numpy(a).double()
+    t2 = torch.from_numpy(b).double()
+
+    def tm_stats(x):
+        n = x.shape[0]
+        mu = x.sum(0) / n
+        cov = (x.t().mm(x) - n * torch.outer(mu, mu)) / (n - 1)
+        return mu, cov
+
+    m1, s1 = tm_stats(t1)
+    m2, s2 = tm_stats(t2)
+    aa = (m1 - m2).square().sum(dim=-1)
+    bb = s1.trace() + s2.trace()
+    cc = torch.linalg.eigvals(s1 @ s2).sqrt().real.sum(dim=-1)
+    want = float(aa + bb - 2.0 * cc)
+
+    assert abs(ours - want) < 1e-4 * max(1.0, abs(want)), (ours, want)
+
+    # rank-deficient corner (n < dim): generic sqrtm goes complex; both
+    # the pipeline's clipped-eig path and the torch real-part path must
+    # stay finite and close
+    a_s, b_s = a[:32], b[:32]
+    mu1, c1 = a_s.mean(0), np.cov(a_s, rowvar=False)
+    mu2, c2 = b_s.mean(0), np.cov(b_s, rowvar=False)
+    ours_s = _frechet(mu1, c1, mu2, c2)
+    m1, s1 = tm_stats(torch.from_numpy(a_s).double())
+    m2, s2 = tm_stats(torch.from_numpy(b_s).double())
+    want_s = float((m1 - m2).square().sum(-1) + s1.trace() + s2.trace()
+                   - 2.0 * torch.linalg.eigvals(s1 @ s2).sqrt().real.sum(-1))
+    assert np.isfinite(ours_s)
+    assert abs(ours_s - want_s) < 1e-2 * max(1.0, abs(want_s))

@@ -341,3 +341,77 @@ def test_sharded_step_generalizes_to_sixteen_devices():
                        capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "SIXTEEN_DEV_OK" in r.stdout
+
+
+_DIST_WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, jax.devices()  # 4 local x 2 processes
+
+from jax.sharding import Mesh
+from cliffordtpu.parallel.data import make_global_batch
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+rng = np.random.default_rng(0)
+global_x = rng.normal(size=(16, 4)).astype(np.float32)
+local = global_x[pid * 8:(pid + 1) * 8]  # this process's shard
+arr = make_global_batch(mesh, local)
+assert arr.shape == (16, 4), arr.shape
+assert len(arr.sharding.device_set) == 8
+
+# round-trip proof: a jitted global reduction over the assembled array
+# must equal the full-batch sum on every process
+total = float(jax.jit(lambda a: a.sum())(arr))
+np.testing.assert_allclose(total, global_x.sum(), rtol=1e-6)
+
+# and each addressable shard holds the right rows of the GLOBAL batch
+for s in arr.addressable_shards:
+    row = s.index[0].start or 0
+    np.testing.assert_array_equal(np.asarray(s.data),
+                                  global_x[row:row + 2])
+print("DIST OK", pid)
+"""
+
+
+def test_make_global_batch_two_processes(tmp_path):
+    """VERDICT r3 item 8: the multi-host path of make_global_batch
+    (jax.make_array_from_process_local_data), exercised for real with a
+    2-process jax.distributed CPU cluster (4 virtual devices each):
+    per-process shard -> global array round-trips, a jitted global
+    reduction sees all rows, and every addressable shard holds the
+    correct global rows."""
+    import subprocess
+    import sys
+
+    worker = tmp_path / "dist_worker.py"
+    worker.write_text(_DIST_WORKER)
+    port = str(29000 + os.getpid() % 1000)
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(pid), port],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"DIST OK {pid}" in out
