@@ -348,6 +348,10 @@ import os, sys
 import numpy as np
 import jax
 
+# the axon sitecustomize pins the platform before env vars apply;
+# re-assert CPU before any backend/distributed initialization
+jax.config.update("jax_platforms", "cpu")
+
 pid = int(sys.argv[1]); port = sys.argv[2]
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
@@ -392,10 +396,12 @@ def test_make_global_batch_two_processes(tmp_path):
     worker = tmp_path / "dist_worker.py"
     worker.write_text(_DIST_WORKER)
     port = str(29000 + os.getpid() % 1000)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
     procs = [
         subprocess.Popen([sys.executable, str(worker), str(pid), port],

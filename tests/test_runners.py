@@ -142,3 +142,42 @@ def test_mlp_runner_vmap_trials_train_only(tmp_path):
         assert math.isnan(m["test/ll"])            # eval really skipped
     assert (tmp_path / "mnist_vae_results.csv").exists()
     assert (tmp_path / "mnist_clifpws_timing.json").exists()
+
+
+def test_mlp_runner_full_eval_runs_gates_battery(tmp_path):
+    """--full_eval_runs 1 with n_runs 2: run 1 gets the heavy VSA battery
+    (non-empty capacity curves), run 2 keeps only the table-feeding eval
+    (knn/mvc/test metrics present, curves empty) — the sweep-mode
+    contract behind the across-dims table (VERDICT r3 #3)."""
+    mnist_clifpws = _load_script("mnist_clifpws")
+    args = mnist_clifpws.build_parser().parse_args([
+        "--d_dims", "2", "--n_runs", "2", "--epochs", "2",
+        "--warmup_epochs", "1", "--patience", "5", "--batch_size", "32",
+        "--limit_train", "128", "--limit_test", "48",
+        "--distributions", "clifford", "--no_wandb", "--vsa_trials", "2",
+        "--vmap_trials", "--full_eval_runs", "1",
+        "--outdir", str(tmp_path),
+    ])
+    cwd = os.getcwd()
+    try:
+        mnist_clifpws.run(args)
+    finally:
+        os.chdir(cwd)
+
+    vsa1 = json.loads(
+        (tmp_path / "results" / "mnist-clifford-d2-l1-trial1"
+         / "vsa_raw.json").read_text())
+    vsa2 = json.loads(
+        (tmp_path / "results" / "mnist-clifford-d2-l1-trial2"
+         / "vsa_raw.json").read_text())
+    assert vsa1["bundle_cap"]["k"], "run 1 must carry the real battery"
+    assert not vsa2["bundle_cap"]["k"], "run 2 must skip the battery"
+    for t in (1, 2):
+        m = json.loads(
+            (tmp_path / "results" / f"mnist-clifford-d2-l1-trial{t}"
+             / "metrics.json").read_text())
+        # table metrics always present
+        assert math.isfinite(m["final_val_loss"])
+        assert math.isfinite(m["test/ll"])
+        assert any(k.startswith("knn_acc") for k in m)
+        assert "mean_vector_cosine_acc" in m
