@@ -77,6 +77,40 @@ def _bits_to_unit_float(bits):
     return f - 1.0
 
 
+def _expm1(x):
+    """expm1 via Kahan's exp/log identity — Mosaic has no expm1 lowering.
+
+    expm1(x) = (e^x - 1) * x / log(e^x) recovers the small-|x| digits
+    that the naive ``exp(x) - 1`` cancels away (max observed error vs
+    ``jnp.expm1`` is ~1 ulp across the sampler's x = (-2/nu) ln U >= 0
+    range); at e^x == 1 the limit is x itself."""
+    e = jnp.exp(x)
+    em1 = e - 1.0
+    return jnp.where(e == 1.0, x, em1 * x / jnp.log(e))
+
+
+def _atan(x):
+    """f32 arctan — Mosaic has no atan/atan2 lowering either.
+
+    Cephes ``atanf`` range reduction (tan(pi/8) / tan(3pi/8) splits)
+    plus its degree-9 odd minimax polynomial: |err| <~ 2 ulp vs
+    ``jnp.arctan`` over the sampler's full input range, inside the
+    "transcendental-implementation tolerance" the keyed variant already
+    claims for theta."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095  # tan(3pi/8)
+    mid = ax > 0.4142135623730951  # tan(pi/8)
+    x0 = jnp.where(big, -1.0 / jnp.maximum(ax, 1e-30),
+                   jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    y0 = jnp.where(big, jnp.float32(math.pi / 2),
+                   jnp.where(mid, jnp.float32(math.pi / 4),
+                             jnp.float32(0.0)))
+    z = x0 * x0
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1) * z * x0 + x0
+    return jnp.where(x < 0.0, -(y0 + p), y0 + p)
+
+
 def _threefry2x32(k0, k1, x0, x1):
     """Threefry-2x32, the jax default PRNG, as traced u32 vector code.
 
@@ -119,8 +153,8 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
         loc = loc_ref[:]
         kappa = kap_ref[:]
         nu = 2.0 * (kappa + _PS_EPS) + 1.0
-        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
-        theta = loc + 2.0 * jnp.arctan(
+        w = _expm1((-2.0 / nu) * jnp.log(u))
+        theta = loc + 2.0 * _atan(
             jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
         th_sc[:] = theta
         th_ref[:] = theta
@@ -268,8 +302,8 @@ def _keyed_sample_embed_kernel(seed_ref, loc_ref, kap_ref,
         loc = loc_ref[:]
         kappa = kap_ref[:]
         nu = 2.0 * (kappa + _PS_EPS) + 1.0
-        w = jnp.expm1((-2.0 / nu) * jnp.log(u))
-        theta = loc + 2.0 * jnp.arctan(
+        w = _expm1((-2.0 / nu) * jnp.log(u))
+        theta = loc + 2.0 * _atan(
             jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
         th_sc[:] = theta
         th_ref[:] = theta

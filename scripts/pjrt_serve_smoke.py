@@ -90,7 +90,14 @@ def main():
                           "error": f"shape {got.shape} != {want.shape}"}))
         return 1
     err = float(np.max(np.abs(got - want)))
-    ok = err < 5e-4  # TPU f32 vs CPU f32
+    # The bundle's stablehlo carries DEFAULT precision: TPU executes f32
+    # matmuls/convs as bf16 passes, so vs the CPU's true-f32 reference the
+    # tanh-bounded decoder output differs by O(1e-2) (measured 7.9e-3 on
+    # the real axon plugin, artifacts/bench_r4/chain.log) — that is
+    # expected serving behavior, not a host bug.  2e-2 bounds the bf16
+    # pass; anything beyond it means real corruption (wrong weights,
+    # layout bugs), which in practice shows up as O(1) error.
+    ok = err < 2e-2
     print(json.dumps({"smoke": "pjrt_serve_tpu", "ok": ok,
                       "max_abs_err_vs_cpu": err, "bundle": outdir}))
     return 0 if ok else 1
