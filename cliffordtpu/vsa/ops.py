@@ -1,4 +1,12 @@
-"""Core HRR binding/bundling primitives (``utils/vsa.py:9-96``)."""
+"""Core HRR binding/bundling primitives (``utils/vsa.py:9-96``).
+
+The FFT-backed ops (``bind``/``unbind``/``unitary_init``) have two
+numerically-equivalent backends selected per call by
+:func:`cliffordtpu.vsa.rdft.method` (env ``CLIFFORDTPU_VSA_FFT``):
+complex ``rfft`` (exact parity path, default on CPU) and a real-DFT
+matmul pair (default on TPU — MXU-friendly and free of complex dtypes,
+which the axon backend sporadically rejects; see ``rdft.py``).
+"""
 
 from __future__ import annotations
 
@@ -6,6 +14,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from cliffordtpu.vsa import rdft
 
 
 def hrr_init(key, n: int, d: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -25,6 +35,9 @@ def unitary_init(key, n: int, d: int, eps: float = 1e-3, dtype=jnp.float32):
     sign = jnp.sign(jax.random.uniform(k_s, (n, n_phases)) - 0.5)
     phi = sign * math.pi * (eps + a * (1 - 2 * eps))
 
+    if rdft.method(d) == "matmul":
+        return rdft.unitary_from_phases(phi, d, dtype=dtype)
+
     # build the real rfft half-spectrum: bin 0 = 1, bins 1..(d-1)//2 = e^{i phi},
     # Nyquist bin (even d) = 1.
     n_bins = d // 2 + 1
@@ -42,6 +55,8 @@ def normalize_vectors(x: jnp.ndarray) -> jnp.ndarray:
 def bind(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """HRR binding = circular convolution via real FFT (``utils/vsa.py:43-46``)."""
     n = a.shape[-1]
+    if rdft.method(n) == "matmul":
+        return rdft.bind_matmul(a, b)
     fa = jnp.fft.rfft(a, axis=-1)
     fb = jnp.fft.rfft(b, axis=-1)
     return jnp.fft.irfft(fa * fb, n=n, axis=-1)
@@ -64,6 +79,8 @@ def unbind(ab: jnp.ndarray, b: jnp.ndarray, method: str = "inv") -> jnp.ndarray:
         return bind(ab, invert(b))
     elif method in ("†", "deconv", "dagger"):
         n = ab.shape[-1]
+        if rdft.method(n) == "matmul":
+            return rdft.unbind_deconv_matmul(ab, b)
         fab = jnp.fft.rfft(ab, axis=-1)
         fb = jnp.fft.rfft(b, axis=-1)
         return jnp.fft.irfft(fab / (fb + 1e-12), n=n, axis=-1)
