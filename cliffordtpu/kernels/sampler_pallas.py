@@ -69,6 +69,13 @@ from cliffordtpu.kernels.torus_pallas import (
 
 _U_MIN = 1e-12  # must equal the XLA sampler's minval
 
+# cnn4096's working set (six (TB, kp) f32 buffers + two (kp, TN) basis
+# tiles + pipelining copies) sits just above XLA's 16 MB default scoped-
+# VMEM limit; the target v5e core has 128 MB physical VMEM, so grant the
+# sampler kernels headroom instead of shrinking TB (which would double
+# the in-kernel basis regeneration).
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
 
 def _bits_to_unit_float(bits):
     """u32 -> f32 uniform in [0, 1): mantissa trick (1.m * 2^0 - 1)."""
@@ -137,7 +144,7 @@ def _threefry2x32(k0, k1, x0, x1):
 
 def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
                          out_ref, th_ref, u_ref, v_ref,
-                         cos_sc, sin_sc, th_sc,
+                         cos_sc, sin_sc,
                          *, d: int, TN: int, kp: int):
     j = pl.program_id(1)  # output-column tile (inner)
     i = pl.program_id(0)  # batch tile (OUTER — theta cached per tile)
@@ -146,7 +153,7 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
     def _draw_and_sample():
         # independent, deterministic stream per batch tile
         pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
-        shape = th_sc.shape
+        shape = th_ref.shape
         u = _bits_to_unit_float(pltpu.prng_random_bits(shape))
         v = _bits_to_unit_float(pltpu.prng_random_bits(shape))
         u = jnp.maximum(u, _U_MIN)
@@ -156,7 +163,6 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
         w = _expm1((-2.0 / nu) * jnp.log(u))
         theta = loc + 2.0 * _atan(
             jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
-        th_sc[:] = theta
         th_ref[:] = theta
         u_ref[:] = u
         v_ref[:] = v
@@ -167,7 +173,12 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
     cos_sc[:], sin_sc[:] = basis_tiles((kp, TN), d, k_axis=0,
                                        n_offset=j * TN)
 
-    th = th_sc[:]
+    # theta is read back from the th OUTPUT block: its index map (i, 0) is
+    # constant across the inner j loop, so Mosaic keeps it resident in
+    # VMEM (revisiting-output pattern) — a separate (TB, kp) scratch copy
+    # was what pushed cnn4096 108 KB past the 16 MB scoped-VMEM default
+    # (artifacts/bench_r4/chain_b.log).
+    th = th_ref[:]
     out_ref[:] = (
         jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
         + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
@@ -216,8 +227,9 @@ def _sample_embed_call(seed, loc_pad, kap_pad, d: int):
         scratch_shapes=[
             pltpu.VMEM((kp, TN), jnp.float32),
             pltpu.VMEM((kp, TN), jnp.float32),
-            pltpu.VMEM((TB, kp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(seed, loc_pad, kap_pad)
 
 
@@ -273,7 +285,7 @@ def _xla_uniform_from_bits(bits, minval: float):
 
 def _keyed_sample_embed_kernel(seed_ref, loc_ref, kap_ref,
                                out_ref, th_ref, u_ref, v_ref,
-                               cos_sc, sin_sc, th_sc,
+                               cos_sc, sin_sc,
                                *, d: int, TN: int, kp: int, TB: int):
     """Same structure as ``_sample_embed_kernel``, but the uniforms come
     from in-kernel threefry-2x32 on EXACTLY the counters jax 0.9's
@@ -305,14 +317,16 @@ def _keyed_sample_embed_kernel(seed_ref, loc_ref, kap_ref,
         w = _expm1((-2.0 / nu) * jnp.log(u))
         theta = loc + 2.0 * _atan(
             jnp.cos((2.0 * math.pi) * v) * jnp.sqrt(w))
-        th_sc[:] = theta
         th_ref[:] = theta
         u_ref[:] = u
         v_ref[:] = v
 
     cos_sc[:], sin_sc[:] = basis_tiles((kp, TN), d, k_axis=0,
                                        n_offset=j * TN)
-    th = th_sc[:]
+    # read theta from the resident th output block (see
+    # _sample_embed_kernel — dropping the scratch copy keeps cnn4096
+    # inside the scoped-VMEM budget)
+    th = th_ref[:]
     out_ref[:] = (
         jnp.dot(jnp.cos(th), cos_sc[:], preferred_element_type=jnp.float32)
         + jnp.dot(jnp.sin(th), sin_sc[:], preferred_element_type=jnp.float32)
@@ -358,8 +372,9 @@ def _keyed_sample_embed_call(seeds, loc_pad, kap_pad, d: int):
         scratch_shapes=[
             pltpu.VMEM((kp, TN), jnp.float32),
             pltpu.VMEM((kp, TN), jnp.float32),
-            pltpu.VMEM((TB, kp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )(seeds, loc_pad, kap_pad)
 
 
