@@ -358,7 +358,13 @@ def run_cnn_experiments(args, dataset_name: str, timing_name: str,
     ds = load_dataset(dataset_name, n_train=args.limit_train,
                       n_test=args.limit_test)
     if ds["source"] == "synthetic":
+        if getattr(args, "require_real", False):
+            raise SystemExit(
+                f"--require_real: no real {dataset_name} found (searched "
+                f"$CLIFFORDTPU_DATA_DIR, ./data, /root/data — note the "
+                f"runner chdirs into --outdir, so pass an ABSOLUTE path)")
         print(f"WARNING: synthetic {dataset_name} fallback in use")
+    timing_results["data_source"] = ds["source"]
     x_train_full, y_train_full = ds["x_train"], ds["y_train"]
     x_test_full, y_test_full = ds["x_test"], ds["y_test"]
 

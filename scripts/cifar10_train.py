@@ -26,6 +26,9 @@ def build_parser():
         description="cifar-10 VAE experiments with cliffordAR S-VAE + "
                     "baselines")
     p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--require_real", action="store_true",
+                   help="abort instead of training on the synthetic "
+                        "fallback when no real dataset files are found")
     p.add_argument("--warmup_epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--lr", type=float, default=3e-4)

@@ -25,6 +25,9 @@ def build_parser():
     p = argparse.ArgumentParser(
         description="clifford vae experiments on fashionmnist")
     p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--require_real", action="store_true",
+                   help="abort instead of training on the synthetic "
+                        "fallback when no real dataset files are found")
     p.add_argument("--warmup_epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-3)

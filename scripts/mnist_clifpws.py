@@ -187,8 +187,14 @@ def run(args):
     ds = load_dataset("mnist", n_train=args.limit_train,
                       n_test=args.limit_test)
     if ds["source"] == "synthetic":
+        if getattr(args, "require_real", False):
+            raise SystemExit(
+                "--require_real: no real MNIST found (searched "
+                "$CLIFFORDTPU_DATA_DIR, ./data, /root/data — note the "
+                "runner chdirs into --outdir, so pass an ABSOLUTE path)")
         print("WARNING: no real MNIST found — using the synthetic fallback "
               "(cliffordtpu/data/loaders.py)")
+    timing_results["data_source"] = ds["source"]
     x_all = ds["x_train"].reshape(len(ds["x_train"]), -1)
     y_all = ds["y_train"]
     # 90/10 train/val split (reference :194-196)
@@ -699,6 +705,9 @@ def build_parser():
     # extensions over the reference CLI (defaults preserve its behavior)
     parser.add_argument("--outdir", type=str, default=".")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--require_real", action="store_true",
+                        help="abort instead of training on the synthetic "
+                             "fallback when no real dataset files are found")
     parser.add_argument("--limit_train", type=int, default=None,
                         help="cap train set size (smoke tests)")
     parser.add_argument("--limit_test", type=int, default=None)
