@@ -151,8 +151,14 @@ def _sample_embed_kernel(seed_ref, loc_ref, kap_ref,
 
     @pl.when(j == 0)
     def _draw_and_sample():
-        # independent, deterministic stream per batch tile
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+        # independent, deterministic stream per batch tile.  The tile
+        # index is FOLDED into the two seed words (golden-ratio Weyl
+        # increment) rather than passed as a third seed value: the axon
+        # backend's Mosaic rejects prng_seed with >2 values
+        # ("Setting seed with more than 2 values is not supported",
+        # artifacts/bench_r4/chain_e.log).
+        mix = i.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        pltpu.prng_seed(seed_ref[0] + mix, seed_ref[1] ^ mix)
         shape = th_ref.shape
         u = _bits_to_unit_float(pltpu.prng_random_bits(shape))
         v = _bits_to_unit_float(pltpu.prng_random_bits(shape))
