@@ -352,6 +352,25 @@ def main():
     cfg = dict(CONFIGS[args.config])
     batch = args.batch or cfg["batch"]
 
+    # One TPU client process at a time: concurrent axon sessions get
+    # revoked, and a second trainer on the chip silently contaminates
+    # paired-A/B timings (ROADMAP round-4 s5/s6).  Bounded wait so the
+    # one-JSON-line contract holds even against a wedged holder.
+    from cliffordtpu.utils.tpu_lock import TpuLockError, hold_tpu_lock
+
+    try:
+        _tpu_lock = hold_tpu_lock(
+            label=f"bench:{args.config}",
+            timeout_s=float(os.environ.get("CLIFFORDTPU_TPU_LOCK_TIMEOUT",
+                                           "900")))
+    except TpuLockError as e:
+        print(json.dumps({
+            "metric": metric_name(args.config, cfg, batch),
+            "value": 0.0, "unit": "steps/s", "vs_baseline": None,
+            "error": str(e),
+        }))
+        sys.exit(3)
+
     # Bounded probe-retry window: the axon tunnel flaps (multi-hour
     # outages observed), and a one-shot probe at the wrong moment turns a
     # whole bench round into an error line.  A hung first probe does not

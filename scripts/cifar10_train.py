@@ -97,8 +97,12 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from cliffordtpu.utils.tpu_lock import hold_tpu_lock
+
     args = build_parser().parse_args()
     if args.distributions is None:
         args.distributions = ["clifford", "powerspherical", "gaussian"]
     args.arch = "cnn"  # cifar10 runner is CNN-only (cifar10_train.py)
+    # one TPU client process at a time (ROADMAP round-4 s5/s6)
+    _tpu_lock = hold_tpu_lock(label="cifar10_train")
     run_cnn_experiments(args, "cifar10", "cifar10_train", full_eval=False)

@@ -41,6 +41,11 @@ def main():
 
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # one TPU client process at a time (ROADMAP round-4 s5/s6)
+        from cliffordtpu.utils.tpu_lock import hold_tpu_lock
+
+        _tpu_lock = hold_tpu_lock(label="eval_battery_timing")
 
     from cliffordtpu.vsa.capacity import (
         test_binding_unbinding_pairs,

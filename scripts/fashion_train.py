@@ -114,9 +114,15 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from cliffordtpu.utils.tpu_lock import hold_tpu_lock
+
     args = build_parser().parse_args()
     if args.distributions is None:
         args.distributions = ["clifford", "powerspherical", "gaussian",
                               "gaussian_nol2"]
+    # one TPU client process at a time (axon revokes concurrent sessions
+    # and parallel trainers contaminate timings — ROADMAP round-4 s5/s6);
+    # held for process lifetime, no-op when this process is CPU-pinned
+    _tpu_lock = hold_tpu_lock(label="fashion_train")
     run_cnn_experiments(args, args.dataset, "fashion_train",
                         full_eval=True)

@@ -531,4 +531,8 @@ def build_parser():
 
 
 if __name__ == "__main__":
+    from cliffordtpu.utils.tpu_lock import hold_tpu_lock
+
+    # one TPU client process at a time (ROADMAP round-4 s5/s6)
+    _tpu_lock = hold_tpu_lock(label="mnist_vmf")
     run(build_parser().parse_args())
