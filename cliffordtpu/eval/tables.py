@@ -117,7 +117,17 @@ def plot_across_dims_comparison(across_dim_results: Dict,
     if not dist_order:
         return None
 
-    dims = across_dim_results[dist_order[0]]["dims"]
+    # Align by dim VALUE, not position: merged sidecars can hold divergent
+    # dims x trials shapes per dist (sliced invocations, deadline-truncated
+    # sweeps), where the reference's positional alignment to the first
+    # dist's dims list (``wandb_utils.py:958,986``) would misattribute
+    # values across dims.  Multi-trial entries (dims repeats once per
+    # trial) aggregate to mean +- sample std per (dist, dim).
+    dims = sorted({int(d) for dn in dist_order
+                   for d in across_dim_results[dn].get("dims", [])})
+    if latent_dims_used:
+        requested = [int(d) for d in latent_dims_used]
+        dims = [d for d in dims if d in requested] or dims
     train_sizes = [100, 600, 1000]
     has_mean_cosine = any(
         len(across_dim_results[d].get("mean_cosine", [])) > 0
@@ -128,30 +138,50 @@ def plot_across_dims_comparison(across_dim_results: Dict,
     }
     os.makedirs(output_dir, exist_ok=True)
 
-    def fmt_pct(v):
-        return f"{v * 100:.1f}" if v <= 1.0 else f"{v:.1f}"
+    def fmt_pct(v, scale_from=None):
+        # scale decision rides on the mean so a <=1.0 std next to a
+        # percentage-scaled mean can't mix scales in one cell
+        ref = v if scale_from is None else scale_from
+        return f"{v * 100:.1f}" if ref <= 1.0 else f"{v:.1f}"
 
+    def _by_dim(dist_name, key):
+        """{dim: (mean, sample std, n)} over that dist's trials at dim."""
+        data = across_dim_results[dist_name]
+        vals = list(data.get(key, []))
+        groups: dict = {}
+        for i, d in enumerate(data.get("dims", [])):
+            v = vals[i] if i < len(vals) else float("nan")
+            groups.setdefault(int(d), []).append(v)
+        out = {}
+        for d, vs in groups.items():
+            arr = np.asarray(vs, dtype=float)
+            ok = arr[~np.isnan(arr)]
+            if ok.size == 0:
+                out[d] = (float("nan"), float("nan"), 0)
+            else:
+                std = float(ok.std(ddof=1)) if ok.size > 1 else float("nan")
+                out[d] = (float(ok.mean()), std, int(ok.size))
+        return out
+
+    # rows: (dist, metric, n_train, {dim: (mean, std, n)})
     rows = []
     for dist_name in dist_order:
-        data = across_dim_results[dist_name]
         for m in ["knn", "f1"]:
             for n_train, kk in zip(train_sizes, metric_keys[m]):
-                vals = list(data.get(kk, []))
-                vals = vals + [float("nan")] * (len(dims) - len(vals))
-                rows.append((dist_name, m, n_train, vals[: len(dims)]))
+                rows.append((dist_name, m, n_train, _by_dim(dist_name, kk)))
         if has_mean_cosine:
-            vals = list(data.get("mean_cosine", []))
-            vals = vals + [float("nan")] * (len(dims) - len(vals))
-            rows.append((dist_name, "mean_cosine", None, vals[: len(dims)]))
+            rows.append((dist_name, "mean_cosine", None,
+                         _by_dim(dist_name, "mean_cosine")))
 
+    NAN_STAT = (float("nan"), float("nan"), 0)
     best_vals = defaultdict(lambda: (float("-inf"), None))
-    for dist_name, m, n_train, vals in rows:
-        for di, v in enumerate(vals):
-            if np.isnan(v):
+    for dist_name, m, n_train, stats in rows:
+        for d, (mean, _, _) in stats.items():
+            if np.isnan(mean):
                 continue
-            ck = (m, n_train, di)
-            if v > best_vals[ck][0]:
-                best_vals[ck] = (v, dist_name)
+            ck = (m, n_train, d)
+            if mean > best_vals[ck][0]:
+                best_vals[ck] = (mean, dist_name)
     best_dist = {k: d for k, (_, d) in best_vals.items()}
 
     n_dists = len(dist_order)
@@ -178,29 +208,32 @@ def plot_across_dims_comparison(across_dim_results: Dict,
     lines.append(header2 + " \\\\")
     lines.append("\\midrule")
 
-    def _lookup(dist_name, m, n_train, di):
-        for dn, rm, rn, vals in rows:
+    def _lookup(dist_name, m, n_train, d):
+        for dn, rm, rn, stats in rows:
             if dn == dist_name and rm == m and rn == n_train:
-                return vals[di]
-        return float("nan")
+                return stats.get(d, NAN_STAT)
+        return NAN_STAT
+
+    def _cell(stat, bold):
+        mean, std, n = stat
+        if np.isnan(mean):
+            return " & —"
+        s = fmt_pct(mean)
+        if n > 1 and not np.isnan(std):
+            s += f" {{\\scriptsize$\\pm${fmt_pct(std, scale_from=mean)}}}"
+        return f" & \\textbf{{{s}}}" if bold else f" & {s}"
 
     for m, m_label in [("knn", "Accuracy"), ("f1", "Macro F1")]:
         lines.append(
             f"\\multicolumn{{{1 + n_dists * len(train_sizes)}}}{{l}}"
             f"{{\\textit{{{m_label}}}}} \\\\")
-        for di, d in enumerate(dims):
+        for d in dims:
             row_str = f"$d = {d}$"
             for n_train in train_sizes:
                 for dist_name in dist_order:
-                    val = _lookup(dist_name, m, n_train, di)
-                    if np.isnan(val):
-                        row_str += " & —"
-                    else:
-                        s = fmt_pct(val)
-                        row_str += (
-                            f" & \\textbf{{{s}}}"
-                            if best_dist.get((m, n_train, di)) == dist_name
-                            else f" & {s}")
+                    row_str += _cell(
+                        _lookup(dist_name, m, n_train, d),
+                        best_dist.get((m, n_train, d)) == dist_name)
             lines.append(row_str + " \\\\")
         lines.append("\\addlinespace")
 
@@ -208,23 +241,13 @@ def plot_across_dims_comparison(across_dim_results: Dict,
         lines.append(
             f"\\multicolumn{{{1 + n_dists * len(train_sizes)}}}{{l}}"
             "{\\textit{Mean Cosine Acc.}} \\\\")
-        for di, d in enumerate(dims):
+        for d in dims:
             row_str = f"$d = {d}$"
-            best_mc_val, best_mc_dist = float("-inf"), None
-            for dist_name in dist_order:
-                v = _lookup(dist_name, "mean_cosine", None, di)
-                if not np.isnan(v) and v > best_mc_val:
-                    best_mc_val, best_mc_dist = v, dist_name
             for n_train in train_sizes:
                 for dist_name in dist_order:
-                    val = _lookup(dist_name, "mean_cosine", None, di)
-                    if np.isnan(val):
-                        row_str += " & —"
-                    else:
-                        s = fmt_pct(val)
-                        row_str += (f" & \\textbf{{{s}}}"
-                                    if dist_name == best_mc_dist
-                                    else f" & {s}")
+                    row_str += _cell(
+                        _lookup(dist_name, "mean_cosine", None, d),
+                        best_dist.get(("mean_cosine", None, d)) == dist_name)
             lines.append(row_str + " \\\\")
         lines.append("\\addlinespace")
 
@@ -234,12 +257,23 @@ def plot_across_dims_comparison(across_dim_results: Dict,
         f.write("\n".join(lines))
     print(f"latex table saved to {tex_path}")
 
+    # CSV: mean rows keep the reference schema (one value column per dim,
+    # ``wandb_utils.py:1095-1110``); multi-trial sweeps additionally emit
+    # `<metric>_std` / `<metric>_n` rows so mean+-std round-trips
     csv_lines = ["method,metric,n_train," + ",".join(f"d={d}" for d in dims)]
-    for dist_name, m, n_train, vals in rows:
+    for dist_name, m, n_train, stats in rows:
         label = LABELS.get(dist_name, dist_name)
         n_str = str(n_train) if n_train else "—"
-        val_strs = [f"{v:.4f}" if not np.isnan(v) else "" for v in vals]
-        csv_lines.append(f"{label},{m},{n_str}," + ",".join(val_strs))
+        means = [stats.get(d, NAN_STAT)[0] for d in dims]
+        csv_lines.append(f"{label},{m},{n_str}," + ",".join(
+            f"{v:.4f}" if not np.isnan(v) else "" for v in means))
+        if any(stats.get(d, NAN_STAT)[2] > 1 for d in dims):
+            stds = [stats.get(d, NAN_STAT)[1] for d in dims]
+            ns = [stats.get(d, NAN_STAT)[2] for d in dims]
+            csv_lines.append(f"{label},{m}_std,{n_str}," + ",".join(
+                f"{v:.4f}" if not np.isnan(v) else "" for v in stds))
+            csv_lines.append(f"{label},{m}_n,{n_str}," + ",".join(
+                str(n) for n in ns))
     csv_path = os.path.join(output_dir, f"{dataset_name}_results.csv")
     with open(csv_path, "w") as f:
         f.write("\n".join(csv_lines))

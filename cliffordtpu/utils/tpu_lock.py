@@ -140,20 +140,24 @@ def acquire_tpu_lock(path: str = None, mode: str = "wait",
 def _tpu_platform_requested() -> bool:
     """True when this process will initialize a non-CPU jax backend.
 
-    The axon sitecustomize force-selects the TPU platform, so an EMPTY
-    selection means TPU here.  Honors both the env var and an already-
-    applied ``jax.config.update("jax_platforms", ...)`` (runners set the
-    config from the env before any device use; eval subprocesses run
-    with ``JAX_PLATFORMS=cpu``).
+    Trusts ONLY the applied ``jax.config.jax_platforms`` — never the raw
+    ``JAX_PLATFORMS`` env var.  Verified on this host: the axon
+    sitecustomize PREPENDS its platform to the config at import
+    (``JAX_PLATFORMS=cpu`` in the env yields config ``"axon,cpu"`` and a
+    TPU backend), so an env-only check would classify a chip-bound
+    process as CPU and skip the lock — the exact revocation class the
+    lock exists to prevent.  Processes that really pin CPU do it via
+    ``jax.config.update("jax_platforms", "cpu")`` (all runners/eval
+    subprocesses do, per CLAUDE.md), which this check sees.  An
+    empty/unset config means the platform is resolved at backend init —
+    TPU on this host — so lock conservatively.
     """
-    plat = ""
     try:
         import jax
 
         plat = jax.config.jax_platforms or ""
     except Exception:
-        pass
-    plat = plat or os.environ.get("JAX_PLATFORMS", "")
+        return True  # no jax info -> lock conservatively (cheap, correct)
     if not plat:
         return True
     return plat.split(",")[0].strip().lower() != "cpu"

@@ -35,6 +35,21 @@ import jax.numpy as jnp
 MATMUL_MAX_DIM = 4096
 
 
+def _active_platform() -> str:
+    """Platform the op will actually execute on.
+
+    ``jax.default_backend()`` alone is wrong under a
+    ``jax.default_device(cpu_dev)`` pin — the runners' in-process eval
+    fallback pins exactly that way inside a TPU process, and must get
+    the CPU decision (exact rfft, no 1-core O(d^2) matmuls)."""
+    dd = getattr(jax.config, "jax_default_device", None)
+    if dd is not None:
+        plat = getattr(dd, "platform", None)
+        if plat:
+            return plat
+    return jax.default_backend()
+
+
 def method(d: int) -> str:
     """Resolve CLIFFORDTPU_VSA_FFT to "fft" | "matmul" for dimension d."""
     m = os.environ.get("CLIFFORDTPU_VSA_FFT", "auto")
@@ -43,7 +58,7 @@ def method(d: int) -> str:
     if m == "matmul":
         return "matmul"
     if (
-        jax.default_backend() not in ("cpu",)
+        _active_platform() not in ("cpu",)
         and 2 <= d <= MATMUL_MAX_DIM
     ):
         return "matmul"

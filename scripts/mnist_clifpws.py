@@ -206,7 +206,6 @@ def run(args):
 
     root_key = jax.random.PRNGKey(args.seed)
     logger = WandbLogger(args)
-    final_results = []
 
     for mdim in args.d_dims:
         print(f"\n{'=' * 30}\n==d = {mdim} ==\n{'=' * 30}")
@@ -596,7 +595,6 @@ def run(args):
             sidecar_update[f"{mdim}|{dist}"] = entry
         merged_trials = merge_json_write("mnist_vae_trial_metrics.json",
                                          sidecar_update)
-        final_results.append(mdim)  # dims touched this invocation (logging)
 
     # unified mean±std CSV regenerated from the merged sidecar
     # (reference :659-692); column order follows the canonical family list
@@ -660,7 +658,7 @@ def run(args):
                     a["mean_cosine"].append(
                         mvc[i] if i < len(mvc) else float("nan"))
                     a["dims"].append(int(mdim_s))
-            for dist in across:  # plotter aligns positionally: sort by dim
+            for dist in across:  # stable dim order for the raw sidecar
                 order = np.argsort(np.array(across[dist]["dims"]),
                                    kind="stable")
                 for k in across[dist]:

@@ -226,6 +226,48 @@ def test_tables(tmp_path):
     assert os.path.exists(tmp_path / "mnist_results.csv")
 
 
+def test_tables_across_dims_value_alignment(tmp_path):
+    """Divergent dims x trials shapes per dist (sliced/truncated sweeps):
+    the table must align by dim VALUE (positional alignment to the first
+    dist's dims list misattributes values) and aggregate repeated trial
+    entries to mean +- sample std."""
+    from cliffordtpu.eval.tables import plot_across_dims_comparison
+
+    def fam(dims, v):
+        return {"dims": dims, "knn_100": v, "knn_600": v, "knn_1000": v,
+                "f1_100": v, "f1_600": v, "f1_1000": v, "mean_cosine": v}
+
+    across = {
+        # two trials at d=2, one at d=5
+        "clifford": fam([2, 2, 5], [0.5, 0.7, 0.9]),
+        # d=5 ONLY — under positional alignment this 0.8 would land in
+        # the d=2 row
+        "gaussian": fam([5], [0.8]),
+    }
+    tex = plot_across_dims_comparison(across, [2, 5], "valign",
+                                      str(tmp_path))
+    assert "$\\pm$" in open(tex).read()  # multi-trial std rendered
+
+    rows = {}
+    for line in open(tmp_path / "valign_results.csv").read().splitlines():
+        parts = line.split(",")
+        rows[tuple(parts[:3])] = parts[3:]
+    assert rows[("method", "metric", "n_train")] == ["d=2", "d=5"]
+    # gaussian: empty at d=2, 0.8 at d=5 (value-keyed, not positional)
+    g = rows[("Gaussian (L2)", "knn", "100")]
+    assert g[0] == "" and abs(float(g[1]) - 0.8) < 1e-9
+    # clifford d=2 aggregates the two trials to their mean
+    c = rows[("Clifford", "knn", "100")]
+    assert abs(float(c[0]) - 0.6) < 1e-9 and abs(float(c[1]) - 0.9) < 1e-9
+    # std/n rows emitted for the multi-trial dist
+    cs = rows[("Clifford", "knn_std", "100")]
+    # CSV prints 4 decimals
+    assert abs(float(cs[0]) - np.std([0.5, 0.7], ddof=1)) < 1e-4
+    assert rows[("Clifford", "knn_n", "100")] == ["2", "1"]
+    # single-trial dists keep the reference schema: no std/n rows
+    assert ("Gaussian (L2)", "knn_std", "100") not in rows
+
+
 def test_plots_smoke(mnist_handle, tmp_path):
     from cliffordtpu.eval import plots
 

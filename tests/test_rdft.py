@@ -80,6 +80,19 @@ def test_env_override_selects_backend(monkeypatch):
     assert rdft.method(64) == "fft"
 
 
+def test_auto_respects_default_device_pin(monkeypatch):
+    """auto must key on the device the op will EXECUTE on: the runners'
+    in-process eval fallback pins jax.default_device(cpu) inside a TPU
+    process, where default_backend() still says 'tpu' — that pin must
+    get the CPU decision (exact rfft, not 1-core O(d^2) matmuls)."""
+    monkeypatch.setenv("CLIFFORDTPU_VSA_FFT", "auto")
+    monkeypatch.setattr(rdft.jax, "default_backend", lambda: "tpu")
+    assert rdft.method(64) == "matmul"  # simulated TPU process
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert rdft.method(64) == "fft"  # CPU pin wins over the backend
+    assert rdft.method(64) == "matmul"  # pin scope ended
+
+
 def test_matmul_backend_safe_under_jit(monkeypatch):
     """Regression: the round-4 TPU battery died with UnexpectedTracerError
     because the basis builders lru_cached tracers created inside the first

@@ -116,6 +116,42 @@ def test_merge_across_dims_unit(tmp_path):
     assert json.loads(open(path).read()) == merged
 
 
+def test_sidecar_corruption_preserved_not_silently_reset(tmp_path):
+    """A truncated sidecar (e.g. a pre-atomic-write kill landed mid-dump)
+    must be preserved as .corrupt — silently treating it as {} would
+    discard every previously merged sweep slice — and the next merge
+    must start fresh without crashing."""
+    from cliffordtpu.utils.artifacts import load_json, merge_json_write
+
+    path = str(tmp_path / "side.json")
+    with open(path, "w") as f:
+        f.write('{"clifford": {"dims": [8], "knn_100"')  # truncated
+    assert load_json(path) == {}
+    corrupt = tmp_path / "side.json.corrupt"
+    assert corrupt.exists()
+    assert corrupt.read_text().startswith('{"clifford"')
+    merged = merge_json_write(path, {"gaussian": 1})
+    assert merged == {"gaussian": 1}
+    assert json.loads(open(path).read()) == merged
+
+
+def test_merge_writes_are_atomic_no_tmp_droppings(tmp_path):
+    """merge writers go through write-to-temp + rename (timeout-kill
+    safety the sweep chains rely on) and clean their temp files up."""
+    import os
+
+    from cliffordtpu.utils.artifacts import merge_across_dims, \
+        merge_json_write
+
+    path = str(tmp_path / "side.json")
+    merge_json_write(path, {"a": 1})
+    merge_across_dims(str(tmp_path / "across.json"),
+                      {"clifford": {"dims": [8], "knn_100": [0.5]}})
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    assert leftovers == []
+    assert json.loads(open(path).read()) == {"a": 1}
+
+
 def test_mlp_runner_vmap_trials_train_only(tmp_path):
     """--vmap_trials + --train_only end-to-end: both lanes train in one
     vmapped program, eval stages take their defaults, artifact contract
