@@ -87,6 +87,13 @@ def main():
     p.add_argument("--limit_test", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_plots", action="store_true")
+    p.add_argument("--table_only", action="store_true",
+                   help="run ONLY the across-dims-table feed (kNN + "
+                        "mean-vector cosine): skip the VSA battery, "
+                        "self-binding, FID, and plots.  Sweep runners pass "
+                        "this for runs beyond --full_eval_runs — the "
+                        "reference's own split: its table (mnist_clifpws"
+                        ".py:685-698) never reads the capacity curves")
     p.add_argument("--l2_normalize", action="store_true")
     p.add_argument("--rf_no_random_keys", action="store_true",
                    help="role-filler with roles drawn from the item memory "
@@ -169,7 +176,10 @@ def main():
     use_means = args.item_memory == "means"
     n_mem = min(args.n_mem or (500 if use_means else 1000), len(x_test))
     per_class_trials = args.per_class_trials or (2 if use_means else 1)
-    if use_means:
+    if args.table_only:
+        item_memory, item_labels = None, None  # battery inputs, skipped
+        baseline_d = per_class_d = 0
+    elif use_means:
         item_memory = handle.latent_mu(x_test[:n_mem], key)
         item_labels = y_test[:n_mem]
         # means protocol: baselines live at the memory's own dimension
@@ -183,20 +193,27 @@ def main():
         per_class_d = handle.latent_dim
 
     results = {}
-    fourier_star = safe_eval(
+
+    def heavy(label, fn, default=None):
+        """Heavy battery stage: skipped entirely under --table_only."""
+        if args.table_only:
+            return default
+        return safe_eval(label, fn, default)
+
+    fourier_star = heavy(
         "self_binding(*)",
         lambda: test_self_binding(handle, x_test[:500], y_test[:500],
                                   outdir, unbind_method="*",
                                   img_shape=img_shape, key=key),
         default=dict(EMPTY_BINDING))
     deconv_dir = ensure_dir(os.path.join(outdir, "deconv"))
-    fourier_perp = safe_eval(
+    fourier_perp = heavy(
         "self_binding(†)",
         lambda: test_self_binding(handle, x_test[:500], y_test[:500],
                                   deconv_dir, unbind_method="†",
                                   img_shape=img_shape, key=key),
         default=dict(EMPTY_BINDING))
-    bundle_cap = safe_eval(
+    bundle_cap = heavy(
         "bundle_capacity",
         lambda: test_bundle_capacity(
             d=item_memory.shape[-1], n_items=n_mem,
@@ -204,7 +221,7 @@ def main():
             save_dir=outdir, item_memory=item_memory,
             baseline_d=baseline_d, key=key),
         default=dict(EMPTY_CURVE))
-    role_filler = safe_eval(
+    role_filler = heavy(
         "role_filler",
         lambda: test_binding_unbinding_pairs(
             d=item_memory.shape[-1], n_items=n_mem,
@@ -213,7 +230,7 @@ def main():
             bind_with_random=not args.rf_no_random_keys,
             baseline_d=baseline_d, key=key),
         default=dict(EMPTY_CURVE))
-    safe_eval("per_class", lambda: test_per_class_bundle_capacity_k_items(
+    heavy("per_class", lambda: test_per_class_bundle_capacity_k_items(
         d=per_class_d, n_items=n_mem, n_classes=10, items_per_class=1,
         n_trials=per_class_trials,
         plot=not args.skip_plots, save_dir=outdir, item_memory=item_memory,
@@ -221,10 +238,10 @@ def main():
         item_images=(x_test[:n_mem] * 2 - 1 if use_means
                      else x_test[:n_mem]),
         class_names=class_names, key=key))
-    safe_eval("pairwise", lambda: test_pairwise_bind_bundle_decode(
+    heavy("pairwise", lambda: test_pairwise_bind_bundle_decode(
         handle, x_test[:500], y_test[:500], outdir, img_shape=img_shape,
         class_names=class_names, key=key))
-    safe_eval("cross_class", lambda: test_cross_class_bind_unbind(
+    heavy("cross_class", lambda: test_cross_class_bind_unbind(
         handle, x_test[:500], y_test[:500], outdir, img_shape=img_shape,
         class_a=5, class_b=6, key=key))
     knn = safe_eval("knn", lambda: perform_knn_evaluation(
@@ -239,13 +256,15 @@ def main():
     # flat for the rest of the battery
     x_test_img = x_test.reshape(len(x_test), args.img_size, args.img_size,
                                 in_channels)
-    fid_res = safe_eval("fid", lambda: compute_fid(
+    fid_res = heavy("fid", lambda: compute_fid(
         handle, x_test_img, handle.distribution, handle.latent_dim,
         in_channels=in_channels,
         n_samples=min(args.fid_samples, len(x_test)), key=key),
-        default={"fid": float("nan"), "fid_features": "failed"})
+        default={"fid": float("nan"),
+                 "fid_features": ("table_only_skipped" if args.table_only
+                                  else "failed")})
     if not args.skip_plots:
-        safe_eval("reconstructions", lambda: plot_reconstructions(
+        heavy("reconstructions", lambda: plot_reconstructions(
             handle, x_test, os.path.join(outdir, "reconstructions.png"),
             img_shape=img_shape, key=key))
 

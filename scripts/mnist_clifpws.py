@@ -91,7 +91,8 @@ def _jsonable(o):
 
 
 def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
-                         latent_dim, l2_normalize, rf_no_random_keys=True):
+                         latent_dim, l2_normalize, rf_no_random_keys=True,
+                         table_only=False):
     """Save checkpoint + run scripts/eval_checkpoint.py in a fresh CPU-only
     process (axon-wedge isolation; same pattern as the CNN runner)."""
     import subprocess
@@ -124,6 +125,12 @@ def _run_subprocess_eval(args, state, outdir, *, arch, distribution,
             cmd += ["--l2_normalize"]
         if rf_no_random_keys:
             cmd += ["--rf_no_random_keys"]
+        if table_only:
+            # sweep mode beyond --full_eval_runs: only the table feed
+            # (kNN + mean-vector cosine) — without this the subprocess
+            # ran the FULL battery every run and --full_eval_runs was
+            # silently dead in --eval_subprocess mode
+            cmd += ["--table_only"]
         if args.limit_train:
             cmd += ["--limit_train", str(args.limit_train)]
         if args.limit_test:
@@ -309,6 +316,11 @@ def run(args):
 
                 eval_start_time = time.time()
                 vis_dir_pre = ensure_dir(f"visualizations/d_{mdim}/{dist}")
+                # sweep mode (--full_eval_runs N): the heavy VSA battery
+                # + plot stages run on the first N runs per (dim, dist)
+                # only — in-process via hstage(), in subprocess mode via
+                # eval_checkpoint --table_only
+                heavy_ok = run_i < getattr(args, "full_eval_runs", 10**9)
                 did_sub, sub_metrics, sub_vsa = False, {}, {}
                 train_only = getattr(args, "train_only", False)
                 if train_only:
@@ -317,20 +329,12 @@ def run(args):
                     did_sub, sub_metrics, sub_vsa = _run_subprocess_eval(
                         args, state, vis_dir_pre, arch="mlp",
                         distribution=model_dist, latent_dim=model_z_dim,
-                        l2_normalize=l2_norm)
+                        l2_normalize=l2_norm, table_only=not heavy_ok)
 
                 def stage(label, fn, default=None):
                     if did_sub:
                         return default
                     return safe_eval(label, fn, default)
-
-                # sweep mode (--full_eval_runs N): the heavy VSA battery
-                # + plot stages run on the first N runs per (dim, dist)
-                # only; the across-dims table needs just knn / mvc / test
-                # metrics per run, which always run.  Mirrors the
-                # reference's own split: the table (:685-698) never
-                # reads the capacity curves.
-                heavy_ok = run_i < getattr(args, "full_eval_runs", 10**9)
 
                 def hstage(label, fn, default=None):
                     if not heavy_ok:
