@@ -125,3 +125,46 @@ def test_hold_rejects_bad_mode(monkeypatch):
     monkeypatch.setenv("CLIFFORDTPU_TPU_LOCK", "nonsense")
     with pytest.raises(ValueError, match="nonsense"):
         hold_tpu_lock()
+
+
+def test_tpu_probe_locks_before_probing(tmp_path, monkeypatch):
+    """scripts/tpu_probe.py must hold the TPU lock BEFORE initializing
+    the backend, and report rc=2 without probing when the lock is held.
+    (No subprocess: a fresh interpreter on this host would reach the
+    real axon backend through sitecustomize.)"""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "tpu_probe", os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "scripts", "tpu_probe.py"))
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+
+    lock_path = str(tmp_path / "lock")
+    monkeypatch.setenv("CLIFFORDTPU_TPU_LOCK_PATH", lock_path)
+
+    calls = []
+
+    def fake_probe(timeout_s):
+        # the lock must already be held by the probe at this point
+        with pytest.raises(TpuLockError):
+            acquire_tpu_lock(path=lock_path, mode="abort")
+        calls.append(timeout_s)
+        return 1, None
+
+    import cliffordtpu.utils.devprobe as devprobe
+    monkeypatch.setattr(devprobe, "probe_live_devices", fake_probe)
+
+    monkeypatch.setattr(sys, "argv", ["tpu_probe.py", "--probe_timeout", "7"])
+    assert probe.main() == 0
+    assert calls == [7.0]
+
+    # held lock -> rc=2, probe never runs, and the holder's lock survives
+    holder = acquire_tpu_lock(path=lock_path, mode="abort", label="holder")
+    try:
+        monkeypatch.setattr(sys, "argv",
+                            ["tpu_probe.py", "--lock_timeout", "0.2"])
+        assert probe.main() == 2
+        assert calls == [7.0]
+    finally:
+        holder.release()
