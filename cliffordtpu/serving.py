@@ -281,26 +281,26 @@ def export_serving(model: Any, params: Any, img_shape,
             batch_mode[name] = "symbolic"
         except Exception as e:
             # some lowerings reject shape polymorphism (commonly RNG
-            # paths); pin the batch and record it — loudly.  Only
-            # polymorphism rejections get the fixed-batch retry: a
+            # paths), and the rejection WORDING varies across jax
+            # versions — so never gate on message substrings: retry with
+            # a pinned batch on ANY symbolic-export failure, loudly.  A
             # genuine export failure (bad params tree, lowering bug)
-            # would fail identically with a pinned batch, so re-raise it
-            # at the first attempt instead of masking it.
-            blob = f"{type(e).__name__} {e}".lower()
-            if not any(m in blob for m in (
-                    "symbolic", "polymorphi", "dimension variable",
-                    "shape_poly", "inconclusive")):
-                raise
+            # fails identically with the pinned batch, in which case the
+            # ORIGINAL symbolic-batch error is re-raised (pinned error
+            # chained as its cause) instead of being masked.
             fixed = max(fallback_batch, dp)
             fixed -= fixed % dp
             import sys
 
-            print(f"serving export: symbolic batch rejected for {name!r} "
-                  f"({type(e).__name__}: {e}); falling back to fixed "
+            print(f"serving export: symbolic batch failed for {name!r} "
+                  f"({type(e).__name__}: {e}); retrying with fixed "
                   f"batch {fixed}", file=sys.stderr)
-            exported[name] = jexport.export(
-                jitted, platforms=list(platforms))(
-                    *specs_for(name, fixed))
+            try:
+                exported[name] = jexport.export(
+                    jitted, platforms=list(platforms))(
+                        *specs_for(name, fixed))
+            except Exception as pinned_err:
+                raise e from pinned_err
             batch_mode[name] = fixed
 
     def batch_dim(name):
