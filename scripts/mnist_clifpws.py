@@ -599,7 +599,25 @@ def run(args):
             sidecar_update[f"{mdim}|{dist}"] = entry
         merged_trials = merge_json_write("mnist_vae_trial_metrics.json",
                                          sidecar_update)
+        # refresh the unified CSV + across-dims table after EVERY dim so
+        # a deadline timeout-kill (the sweep chains run under `timeout`
+        # by design) still leaves a table covering all completed dims
+        _regenerate_summary_tables(quiet=True)
 
+    _regenerate_summary_tables()
+
+    # merge-on-write timing (sliced runs accumulate, totals add up)
+    timing_results["total_script_time_s"] = time.time() - script_start_time
+    prior_total = load_json("mnist_clifpws_timing.json").get(
+        "total_script_time_s", 0.0)
+    if isinstance(prior_total, (int, float)):
+        timing_results["total_script_time_s"] += prior_total
+    merge_json_write("mnist_clifpws_timing.json", timing_results)
+    print(f"\ntotal script execution time: "
+          f"{timing_results['total_script_time_s']:.2f}s")
+
+
+def _regenerate_summary_tables(quiet=False):
     # unified mean±std CSV regenerated from the merged sidecar
     # (reference :659-692); column order follows the canonical family list
     merged_trials = load_json("mnist_vae_trial_metrics.json")
@@ -634,8 +652,9 @@ def run(args):
         import pandas as pd
 
         df = pd.DataFrame(rows).set_index("d")
-        print("\n" + "=" * 25 + " all metrics " + "=" * 25)
-        print(df.to_string())
+        if not quiet:
+            print("\n" + "=" * 25 + " all metrics " + "=" * 25)
+            print(df.to_string())
         df.to_csv("mnist_vae_results.csv")
 
         # across-dims LaTeX/CSV with bold-best (the paper's headline table,
@@ -670,22 +689,12 @@ def run(args):
             from cliffordtpu.eval.tables import plot_across_dims_comparison
             path = plot_across_dims_comparison(
                 across, all_dims, "mnist", "results/comparisons/mnist")
-            if path:
+            if path and not quiet:
                 print(f"saved across-dims comparison to {path}")
         except Exception as e:
             print(f"warning: across-dims comparison failed: {e}")
-    else:
+    elif not quiet:
         print("no results were generated.")
-
-    # merge-on-write timing (sliced runs accumulate, totals add up)
-    timing_results["total_script_time_s"] = time.time() - script_start_time
-    prior_total = load_json("mnist_clifpws_timing.json").get(
-        "total_script_time_s", 0.0)
-    if isinstance(prior_total, (int, float)):
-        timing_results["total_script_time_s"] += prior_total
-    merge_json_write("mnist_clifpws_timing.json", timing_results)
-    print(f"\ntotal script execution time: "
-          f"{timing_results['total_script_time_s']:.2f}s")
 
 
 def build_parser():
