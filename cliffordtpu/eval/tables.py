@@ -257,10 +257,16 @@ def plot_across_dims_comparison(across_dim_results: Dict,
         f.write("\n".join(lines))
     print(f"latex table saved to {tex_path}")
 
-    # CSV: mean rows keep the reference schema (one value column per dim,
-    # ``wandb_utils.py:1095-1110``); multi-trial sweeps additionally emit
-    # `<metric>_std` / `<metric>_n` rows so mean+-std round-trips
-    csv_lines = ["method,metric,n_train," + ",".join(f"d={d}" for d in dims)]
+    # CSV: the main file keeps the reference schema exactly — ONE row per
+    # (method, metric, n_train) with one value column per dim
+    # (``wandb_utils.py:1095-1110``), so positional/one-row-per-metric
+    # consumers parse it unchanged.  Multi-trial sweeps emit the
+    # `<metric>_std` / `<metric>_n` rows into a sibling
+    # ``{dataset}_results_stats.csv`` (same header) so mean+-std still
+    # round-trips without polluting the reference-shaped file.
+    header = "method,metric,n_train," + ",".join(f"d={d}" for d in dims)
+    csv_lines = [header]
+    stats_lines = [header]
     for dist_name, m, n_train, stats in rows:
         label = LABELS.get(dist_name, dist_name)
         n_str = str(n_train) if n_train else "—"
@@ -270,12 +276,18 @@ def plot_across_dims_comparison(across_dim_results: Dict,
         if any(stats.get(d, NAN_STAT)[2] > 1 for d in dims):
             stds = [stats.get(d, NAN_STAT)[1] for d in dims]
             ns = [stats.get(d, NAN_STAT)[2] for d in dims]
-            csv_lines.append(f"{label},{m}_std,{n_str}," + ",".join(
+            stats_lines.append(f"{label},{m}_std,{n_str}," + ",".join(
                 f"{v:.4f}" if not np.isnan(v) else "" for v in stds))
-            csv_lines.append(f"{label},{m}_n,{n_str}," + ",".join(
+            stats_lines.append(f"{label},{m}_n,{n_str}," + ",".join(
                 str(n) for n in ns))
     csv_path = os.path.join(output_dir, f"{dataset_name}_results.csv")
     with open(csv_path, "w") as f:
         f.write("\n".join(csv_lines))
     print(f"csv saved to {csv_path}")
+    if len(stats_lines) > 1:
+        stats_path = os.path.join(
+            output_dir, f"{dataset_name}_results_stats.csv")
+        with open(stats_path, "w") as f:
+            f.write("\n".join(stats_lines))
+        print(f"trial stats saved to {stats_path}")
     return tex_path

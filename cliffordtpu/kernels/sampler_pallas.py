@@ -90,10 +90,15 @@ def _expm1(x):
     expm1(x) = (e^x - 1) * x / log(e^x) recovers the small-|x| digits
     that the naive ``exp(x) - 1`` cancels away (max observed error vs
     ``jnp.expm1`` is ~1 ulp across the sampler's x = (-2/nu) ln U >= 0
-    range); at e^x == 1 the limit is x itself."""
+    range); at e^x == 1 the limit is x itself.  When e^x overflows to
+    inf the Kahan quotient is inf*x/inf = NaN, so that branch returns
+    e^x (= inf = expm1 there); the sampler's _U_MIN=1e-12 clamp keeps
+    x <= ~55.3 so the guard is latent today, but the helper stays
+    total if the clamp ever changes."""
     e = jnp.exp(x)
     em1 = e - 1.0
-    return jnp.where(e == 1.0, x, em1 * x / jnp.log(e))
+    safe = em1 * x / jnp.log(e)
+    return jnp.where(e == 1.0, x, jnp.where(jnp.isinf(e), e, safe))
 
 
 def _atan(x):

@@ -74,14 +74,26 @@ class TpuLock:
 
 
 def _read_holder(path: str) -> str:
-    try:
-        with open(path, "r") as f:
-            info = json.loads(f.read() or "{}")
-        age = time.time() - info.get("t", time.time())
-        return (f"pid {info.get('pid', '?')} ({info.get('label', '?')}, "
-                f"held {age:.0f}s)")
-    except Exception:
-        return "unknown holder"
+    # Diagnostics only (never correctness): the holder writes its info
+    # into the SAME fd that carries the flock (ftruncate+write), so a
+    # lock-free reader can catch the file mid-truncate.  A temp-file
+    # rename on the write side would be atomic but would swap the lock
+    # inode out from under the flock, so the fix lives here: retry once
+    # after the truncate+write window instead.
+    for attempt in range(2):
+        try:
+            with open(path, "r") as f:
+                raw = f.read()
+            if raw.strip():
+                info = json.loads(raw)
+                age = time.time() - info.get("t", time.time())
+                return (f"pid {info.get('pid', '?')} "
+                        f"({info.get('label', '?')}, held {age:.0f}s)")
+        except Exception:
+            pass
+        if attempt == 0:
+            time.sleep(0.05)
+    return "unknown holder"
 
 
 def acquire_tpu_lock(path: str = None, mode: str = "wait",

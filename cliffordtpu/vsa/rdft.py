@@ -44,6 +44,9 @@ def _active_platform() -> str:
     the CPU decision (exact rfft, no 1-core O(d^2) matmuls)."""
     dd = getattr(jax.config, "jax_default_device", None)
     if dd is not None:
+        # the pin may be a Device object or a string like "cpu"/"cpu:0"
+        if isinstance(dd, str):
+            return dd.split(":")[0].lower()
         plat = getattr(dd, "platform", None)
         if plat:
             return plat

@@ -54,9 +54,16 @@ def main():
     model = build_model("cnn", "clifford", 64, 1, 32, False)
     state = create_train_state(jax.random.PRNGKey(0), model,
                                jnp.zeros((2, 32, 32, 1)))
-    export_serving(model, state.params, (32, 32, 1), out_dir=outdir,
-                   platforms=("cpu", "tpu"), native=True,
-                   native_platforms=("cpu", "tpu"), native_batch=8)
+    # Export under HIGHEST matmul precision: a default-precision bundle
+    # runs f32 matmuls/convs as bf16 passes on TPU, which forced the
+    # smoke tolerance out to 2e-2 — wide enough to hide genuine
+    # mid-scale corruption (a subtly wrong weight tensor lands in the
+    # 1e-3..1e-2 band).  With the precision pinned into the StableHLO
+    # the TPU executes true f32 and the per-element bound stays tight.
+    with jax.default_matmul_precision("highest"):
+        export_serving(model, state.params, (32, 32, 1), out_dir=outdir,
+                       platforms=("cpu", "tpu"), native=True,
+                       native_platforms=("cpu", "tpu"), native_batch=8)
     man = json.load(open(os.path.join(outdir, "manifest.json")))
     zdim = int(man["native"]["functions"]["decode"]["args"][0]["shape"][1])
     z = np.random.default_rng(0).normal(size=(8, zdim)).astype(np.float32)
@@ -65,7 +72,8 @@ def main():
     np.save(zin, z)
 
     fns = serving_fns(model, (32, 32, 1))
-    want = np.asarray(fns["decode"](jax.device_get(state.params), z))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(fns["decode"](jax.device_get(state.params), z))
 
     cmd = [host, "--plugin", args.plugin, "--bundle", outdir,
            "--fn", "decode", "--platform", "tpu",
@@ -90,14 +98,13 @@ def main():
                           "error": f"shape {got.shape} != {want.shape}"}))
         return 1
     err = float(np.max(np.abs(got - want)))
-    # The bundle's stablehlo carries DEFAULT precision: TPU executes f32
-    # matmuls/convs as bf16 passes, so vs the CPU's true-f32 reference the
-    # tanh-bounded decoder output differs by O(1e-2) (measured 7.9e-3 on
-    # the real axon plugin, artifacts/bench_r4/chain.log) — that is
-    # expected serving behavior, not a host bug.  2e-2 bounds the bf16
-    # pass; anything beyond it means real corruption (wrong weights,
-    # layout bugs), which in practice shows up as O(1) error.
-    ok = err < 2e-2
+    # The bundle's stablehlo now pins HIGHEST matmul precision (see the
+    # export above), so the TPU runs true-f32 matmuls/convs and the
+    # CPU-vs-TPU delta on this tanh-bounded decoder is ordinary f32
+    # reassociation noise — a tight bound that a subtly-wrong weight
+    # tensor (round-4 measured those landing at O(1e-3..1e-2) under the
+    # old default-precision 2e-2 bound) cannot slip under.
+    ok = err < 5e-4
     print(json.dumps({"smoke": "pjrt_serve_tpu", "ok": ok,
                       "max_abs_err_vs_cpu": err, "bundle": outdir}))
     return 0 if ok else 1

@@ -259,12 +259,21 @@ def test_tables_across_dims_value_alignment(tmp_path):
     # clifford d=2 aggregates the two trials to their mean
     c = rows[("Clifford", "knn", "100")]
     assert abs(float(c[0]) - 0.6) < 1e-9 and abs(float(c[1]) - 0.9) < 1e-9
-    # std/n rows emitted for the multi-trial dist
-    cs = rows[("Clifford", "knn_std", "100")]
+    # the main CSV keeps the reference's one-row-per-metric schema: no
+    # _std/_n rows may leak into it
+    assert not any(k[1].endswith(("_std", "_n")) for k in rows)
+    # std/n rows land in the sibling stats CSV for the multi-trial dist
+    stats_rows = {}
+    for line in (tmp_path / "valign_results_stats.csv").read_text() \
+            .splitlines():
+        parts = line.split(",")
+        stats_rows[tuple(parts[:3])] = parts[3:]
+    cs = stats_rows[("Clifford", "knn_std", "100")]
     # CSV prints 4 decimals
     assert abs(float(cs[0]) - np.std([0.5, 0.7], ddof=1)) < 1e-4
-    assert rows[("Clifford", "knn_n", "100")] == ["2", "1"]
-    # single-trial dists keep the reference schema: no std/n rows
+    assert stats_rows[("Clifford", "knn_n", "100")] == ["2", "1"]
+    # single-trial dists emit no std/n rows anywhere
+    assert ("Gaussian (L2)", "knn_std", "100") not in stats_rows
     assert ("Gaussian (L2)", "knn_std", "100") not in rows
 
 
