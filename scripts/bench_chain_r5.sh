@@ -58,17 +58,17 @@ PYEOF
 
 say "=== chain r5 start (deadline $(date -u -d @"$DEADLINE_EPOCH" +%H:%M:%S)Z) ==="
 
-# ---- 1. interleaved solo (base, pallas_rng) pairs at cnn4096 ----
+# ---- 1. warm the driver's round-end bench program FIRST (this is the
+#         exact flagship32 train step `python bench.py` compiles; a warm
+#         persistent cache keeps the driver's round-end bench short) ----
+run_bench "flagship32_default" --
+
+# ---- 2. interleaved solo (base, pallas_rng) pairs at cnn4096 ----
 for rep in i j k l; do
   [ "$(remain)" -lt 300 ] && break
   run_bench "cnn4096_base_$rep" -- --config cnn4096
   run_bench "cnn4096_srng_$rep" -- --config cnn4096 --sampler pallas_rng
 done
 say "=== SAMPLER REPS DONE ==="
-
-# ---- 2. warm the driver's round-end bench program ----
-if [ "$(remain)" -gt 120 ]; then
-  run_bench "flagship32_default" --
-fi
 
 say "=== CHAIN R5 DONE ($(remain)s before deadline) ==="
